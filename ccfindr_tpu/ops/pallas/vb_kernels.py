@@ -1,0 +1,230 @@
+"""Fused Pallas TPU kernels for the VB-NMF sweep.
+
+The reference's hot path materializes X/WH and runs separate dense
+GEMMs per sweep (src/vbnmf_update.cpp:33-36, Eigen); under plain XLA
+the n x m intermediate ``xwh = X / (lw @ lh)`` is written to HBM and
+read back twice, and the ELBO data term costs three more n x m GEMM
+materializations.  These kernels make the sweep HBM-bound on a single
+read of X per pass:
+
+* :func:`suffstats_pallas` — one pass over X tiles producing BOTH
+  contractions  swn = (X/wth) @ lh^T  and  shn = lw^T @ (X/wth),
+  with wth = lw @ lh recomputed per tile in VMEM (flops are cheap,
+  bandwidth is not).  ``swn`` accumulates in a revisited output block
+  (cell-tile j is the innermost grid axis); ``shn`` is written as
+  per-row-block partials (rp/bn ~ 12% extra traffic) and reduced by
+  XLA.
+* :func:`elbo_data_pallas` — one pass over X computing the data ELBO
+  term  -sum x * (S/wth - log wth),  S = (lw log lw) @ lh
+  + lw @ (lh log lh),  accumulated in a scalar SMEM block.
+
+Padding contract (zero extra contribution to every output; verified in
+tests/test_pallas.py): X pads with 0; W rows pad with 1 and rank
+columns with 0; H rank rows pad with 0 and cell columns with 1 — so
+wth stays positive everywhere while padded X entries contribute
+nothing.  On non-TPU backends the kernels run in interpreter mode.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+DEFAULT_BN = 1024
+DEFAULT_BM = 512
+
+
+def _interpret() -> bool:
+    return jax.default_backend() not in ("tpu", "axon")
+
+
+def _round_up(v: int, mult: int) -> int:
+    return -(-v // mult) * mult
+
+
+def pad_matrix(x, bn: int = DEFAULT_BN, bm: int = DEFAULT_BM):
+    """Zero-pad a count matrix to tile boundaries (do once per
+    factorization; zeros contribute nothing to any kernel output)."""
+    n, m = x.shape
+    np_, mp_ = _round_up(n, bn), _round_up(m, bm)
+    if (np_, mp_) == (n, m):
+        return x
+    return jnp.pad(x, ((0, np_ - n), (0, mp_ - m)))
+
+
+def _pad_factors(lw, lh, np_, mp_, rp_):
+    """Pad W/H factors: W rows -> 1, rank -> 0; H rank -> 0, cols -> 1."""
+    n, r = lw.shape
+    m = lh.shape[1]
+    lw_p = jnp.pad(lw, ((0, np_ - n), (0, 0)), constant_values=1.0)
+    lw_p = jnp.pad(lw_p, ((0, 0), (0, rp_ - r)))
+    lh_p = jnp.pad(lh, ((0, 0), (0, mp_ - m)), constant_values=1.0)
+    lh_p = jnp.pad(lh_p, ((0, rp_ - r), (0, 0)))
+    return lw_p, lh_p
+
+
+# ---------------------------------------------------------------------
+# Fused sufficient statistics
+# ---------------------------------------------------------------------
+
+def _suffstats_kernel(x_ref, lw_ref, lh_ref, swn_ref, shn_ref):
+    j = pl.program_id(1)
+    acc_t = jnp.promote_types(x_ref.dtype, jnp.float32)
+    lw = lw_ref[...]
+    lh = lh_ref[...]
+    wth = jnp.dot(lw, lh, preferred_element_type=acc_t)
+    a = (x_ref[...] / wth).astype(lw.dtype)
+
+    @pl.when(j == 0)
+    def _():
+        swn_ref[...] = jnp.zeros_like(swn_ref)
+
+    swn_ref[...] += jnp.dot(a, lh.T, preferred_element_type=acc_t
+                            ).astype(swn_ref.dtype)
+    shn_ref[0] = jnp.dot(lw.T, a, preferred_element_type=acc_t
+                         ).astype(shn_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("n", "m", "r", "bn", "bm"))
+def suffstats_pallas_padded(x_pad, lw, lh, *, n, m, r, bn, bm):
+    np_, mp_ = x_pad.shape
+    rp_ = _round_up(max(r, 8), 128)
+    lw_p, lh_p = _pad_factors(lw, lh, np_, mp_, rp_)
+    ni, nj = np_ // bn, mp_ // bm
+    acc_t = jnp.promote_types(x_pad.dtype, jnp.float32)
+
+    swn, shn_part = pl.pallas_call(
+        _suffstats_kernel,
+        grid=(ni, nj),
+        in_specs=[
+            pl.BlockSpec((bn, bm), lambda i, j: (i, j),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((bn, rp_), lambda i, j: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((rp_, bm), lambda i, j: (0, j),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((bn, rp_), lambda i, j: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, rp_, bm), lambda i, j: (i, 0, j),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((np_, rp_), acc_t),
+            jax.ShapeDtypeStruct((ni, rp_, mp_), acc_t),
+        ],
+        cost_estimate=pl.CostEstimate(
+            flops=2 * 3 * np_ * mp_ * rp_,
+            bytes_accessed=np_ * mp_ * x_pad.dtype.itemsize,
+            transcendentals=0,
+        ),
+        interpret=_interpret(),
+    )(x_pad, lw_p, lh_p)
+
+    shn = jnp.sum(shn_part, axis=0)
+    return (swn[:n, :r].astype(lw.dtype),
+            shn[:r, :m].astype(lh.dtype))
+
+
+def suffstats_pallas(x, lw, lh, bn: int = DEFAULT_BN,
+                     bm: int = DEFAULT_BM):
+    """Drop-in replacement for ops.vb.suffstats_dense: returns
+    (sw, sh) = (lw * swn, lh * shn).  ``x`` may be pre-padded to the
+    (bn, bm) grid; true shapes come from lw/lh."""
+    n, r = lw.shape
+    m = lh.shape[1]
+    x_pad = pad_matrix(x, bn, bm)
+    swn, shn = suffstats_pallas_padded(x_pad, lw, lh, n=n, m=m, r=r,
+                                       bn=bn, bm=bm)
+    return lw * swn, lh * shn
+
+
+# ---------------------------------------------------------------------
+# Fused ELBO data term
+# ---------------------------------------------------------------------
+
+def _elbo_kernel(x_ref, lw_ref, lh_ref, lwl_ref, lhl_ref, acc_ref):
+    i = pl.program_id(0)
+    j = pl.program_id(1)
+    acc_t = jnp.promote_types(x_ref.dtype, jnp.float32)
+    lw = lw_ref[...]
+    lh = lh_ref[...]
+    wth = jnp.dot(lw, lh, preferred_element_type=acc_t)
+    s = (jnp.dot(lwl_ref[...], lh, preferred_element_type=acc_t)
+         + jnp.dot(lw, lhl_ref[...], preferred_element_type=acc_t))
+    t = x_ref[...] * (s / wth - jnp.log(wth))
+
+    @pl.when((i == 0) & (j == 0))
+    def _():
+        acc_ref[0, 0] = jnp.zeros((), acc_ref.dtype)
+
+    acc_ref[0, 0] += -jnp.sum(t).astype(acc_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("n", "m", "r", "bn", "bm"))
+def elbo_data_pallas_padded(x_pad, lw, lh, *, n, m, r, bn, bm):
+    np_, mp_ = x_pad.shape
+    rp_ = _round_up(max(r, 8), 128)
+    lw_p, lh_p = _pad_factors(lw, lh, np_, mp_, rp_)
+    # padded factor entries are 0 or 1 -> define l*log(l) = 0 there
+    lwl = jnp.where(lw_p > 0, lw_p * jnp.log(
+        jnp.where(lw_p > 0, lw_p, 1.0)), 0.0).astype(lw_p.dtype)
+    lhl = jnp.where(lh_p > 0, lh_p * jnp.log(
+        jnp.where(lh_p > 0, lh_p, 1.0)), 0.0).astype(lh_p.dtype)
+    ni, nj = np_ // bn, mp_ // bm
+    acc_t = jnp.promote_types(x_pad.dtype, jnp.float32)
+
+    acc = pl.pallas_call(
+        _elbo_kernel,
+        grid=(ni, nj),
+        in_specs=[
+            pl.BlockSpec((bn, bm), lambda i, j: (i, j),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((bn, rp_), lambda i, j: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((rp_, bm), lambda i, j: (0, j),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((bn, rp_), lambda i, j: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((rp_, bm), lambda i, j: (0, j),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, 1), lambda i, j: (0, 0),
+                               memory_space=pltpu.SMEM),
+        out_shape=jax.ShapeDtypeStruct((1, 1), acc_t),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * 3 * np_ * mp_ * rp_,
+            bytes_accessed=np_ * mp_ * x_pad.dtype.itemsize,
+            transcendentals=np_ * mp_,
+        ),
+        interpret=_interpret(),
+    )(x_pad, lw_p, lh_p, lwl, lhl)
+    return acc[0, 0].astype(lw.dtype)
+
+
+def elbo_data_pallas(x, lw, lh, bn: int = DEFAULT_BN,
+                     bm: int = DEFAULT_BM):
+    """Drop-in replacement for ops.vb.elbo_data_term."""
+    x_pad = pad_matrix(x, bn, bm)
+    n, r = lw.shape
+    m = lh.shape[1]
+    return elbo_data_pallas_padded(x_pad, lw, lh, n=n, m=m, r=r,
+                                   bn=bn, bm=bm)
+
+
+def make_pallas_backend(bn: int = DEFAULT_BN, bm: int = DEFAULT_BM):
+    """(suffstats, data_term) pair for vb_factorize(suffstats=...,
+    data_term=...).  Pre-pad X with :func:`pad_matrix` (same bn/bm) to
+    avoid a per-sweep pad."""
+    def pallas_suffstats(x, lw, lh):
+        return suffstats_pallas(x, lw, lh, bn=bn, bm=bm)
+
+    def pallas_data_term(x, lw, lh):
+        return elbo_data_pallas(x, lw, lh, bn=bn, bm=bm)
+
+    return pallas_suffstats, pallas_data_term

@@ -1,0 +1,171 @@
+"""Sparse count-matrix kernels: sufficient statistics over nonzeros.
+
+The reference densifies the sparse count matrix before every update
+sweep (as.matrix at R/bayesian.R:339; dense Eigen::MatrixXd at
+src/vbnmf_update.cpp:16).  All X-dependent quantities of the VB sweep
+touch only the nonzeros:
+
+* sw-numerator  (X/wth) @ lh^T  and  sh-numerator  lw^T @ (X/wth)
+  need  x_ij / wth_ij  only where x_ij > 0;
+* the ELBO data terms  -sum lgamma(x+1)  and
+  -sum x (S/wth - log wth)  vanish at x_ij = 0;
+* the remaining  -sum_ij (ew.eh)_ij  reduces in rank space as
+  dot(colsum(ew), rowsum(eh))  (already done in ops.vb.vb_sweep).
+
+So the sweep costs O(nnz * r) instead of O(n * m * r) — the main
+algorithmic win at scRNA densities (5-20%).
+
+Layout: flat COO (row, col, val) padded to a static chunk multiple with
+dummy coordinates (n, m) scattering into a discard slot;
+``lax.scan`` over chunks bounds memory at O(chunk * r).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+from jax.scipy.special import gammaln
+
+
+class SparseCounts(NamedTuple):
+    """Chunk-padded COO count matrix (a pytree; static metadata in
+    ``shape_nm``/``chunk`` via aux trees is avoided by keeping them as
+    plain ints reconstructed from array shapes where possible)."""
+    row: jax.Array       # (nnz_pad,) int32, dummy = n
+    col: jax.Array       # (nnz_pad,) int32, dummy = m
+    val: jax.Array       # (nnz_pad,) float
+    n: int
+    m: int
+
+
+# register as pytree with (n, m) static
+def _sc_flatten(sc):
+    return (sc.row, sc.col, sc.val), (sc.n, sc.m)
+
+
+def _sc_unflatten(aux, children):
+    return SparseCounts(*children, *aux)
+
+
+jax.tree_util.register_pytree_node(SparseCounts, _sc_flatten,
+                                   _sc_unflatten)
+
+
+def from_scipy(mat, dtype=jnp.float32, chunk: int = 1 << 16
+               ) -> SparseCounts:
+    """Build a chunk-padded SparseCounts from a scipy sparse matrix."""
+    import scipy.sparse as sp
+
+    coo = sp.coo_matrix(mat)
+    nnz = coo.nnz
+    pad = (-nnz) % chunk
+    row = np.concatenate([coo.row.astype(np.int32),
+                          np.full(pad, coo.shape[0], np.int32)])
+    col = np.concatenate([coo.col.astype(np.int32),
+                          np.full(pad, coo.shape[1], np.int32)])
+    val = np.concatenate([coo.data.astype(np.dtype(dtype)),
+                          np.zeros(pad, np.dtype(dtype))])
+    return SparseCounts(row=jnp.asarray(row), col=jnp.asarray(col),
+                        val=jnp.asarray(val), n=coo.shape[0],
+                        m=coo.shape[1])
+
+
+def from_dense(x, dtype=jnp.float32, chunk: int = 1 << 16
+               ) -> SparseCounts:
+    import scipy.sparse as sp
+
+    return from_scipy(sp.csr_matrix(np.asarray(x)), dtype=dtype,
+                      chunk=chunk)
+
+
+def lgamma_term(sc: SparseCounts):
+    """sum_ij lgamma(x_ij + 1) — only nonzeros contribute."""
+    return jnp.sum(gammaln(sc.val + 1.0))
+
+
+@functools.partial(jax.jit, static_argnames=("chunk",))
+def suffstats_coo(sc: SparseCounts, lw, lh, chunk: int = 1 << 16):
+    """(sw, sh) sufficient stats over nonzeros.
+
+    Returns sw = lw * ((X/wth) @ lh^T), sh = lh * (lw^T @ (X/wth))
+    exactly as the dense kernel, at O(nnz*r) cost.
+    """
+    r = lw.shape[1]
+    n, m = sc.n, sc.m
+    lw_x = jnp.concatenate([lw, jnp.zeros((1, r), lw.dtype)])   # dummy row
+    lh_x = jnp.concatenate([lh, jnp.zeros((r, 1), lh.dtype)], axis=1)
+    lh_t = lh_x.T                                               # (m+1, r)
+
+    nchunks = sc.row.shape[0] // chunk
+    rows = sc.row.reshape(nchunks, chunk)
+    cols = sc.col.reshape(nchunks, chunk)
+    vals = sc.val.reshape(nchunks, chunk)
+
+    def body(carry, inp):
+        swn, shn = carry
+        rr, cc, vv = inp
+        lw_g = lw_x[rr]                    # (chunk, r)
+        lh_g = lh_t[cc]                    # (chunk, r)
+        wth = jnp.sum(lw_g * lh_g, axis=1)
+        a = jnp.where(vv > 0, vv / jnp.where(wth > 0, wth, 1.0), 0.0)
+        swn = swn.at[rr].add(a[:, None] * lh_g)
+        shn = shn.at[cc].add(a[:, None] * lw_g)
+        return (swn, shn), None
+
+    swn0 = jnp.zeros((n + 1, r), lw.dtype)
+    shn0 = jnp.zeros((m + 1, r), lh.dtype)
+    (swn, shn), _ = lax.scan(body, (swn0, shn0), (rows, cols, vals))
+    return lw * swn[:n], lh * shn[:m].T
+
+
+@functools.partial(jax.jit, static_argnames=("chunk",))
+def elbo_data_coo(sc: SparseCounts, lw, lh, chunk: int = 1 << 16):
+    """-sum_{x>0} x * (S/wth - log wth) with
+    S = (lw log lw) @ lh + lw @ (lh log lh)."""
+    r = lw.shape[1]
+    lwl = lw * jnp.log(lw)
+    lhl = lh * jnp.log(lh)
+    lw_x = jnp.concatenate([lw, jnp.zeros((1, r), lw.dtype)])
+    lwl_x = jnp.concatenate([lwl, jnp.zeros((1, r), lw.dtype)])
+    lh_t = jnp.concatenate([lh, jnp.zeros((r, 1), lh.dtype)],
+                           axis=1).T
+    lhl_t = jnp.concatenate([lhl, jnp.zeros((r, 1), lh.dtype)],
+                            axis=1).T
+
+    nchunks = sc.row.shape[0] // chunk
+    rows = sc.row.reshape(nchunks, chunk)
+    cols = sc.col.reshape(nchunks, chunk)
+    vals = sc.val.reshape(nchunks, chunk)
+
+    def body(acc, inp):
+        rr, cc, vv = inp
+        lw_g = lw_x[rr]
+        lh_g = lh_t[cc]
+        wth = jnp.sum(lw_g * lh_g, axis=1)
+        s = (jnp.sum(lwl_x[rr] * lh_g, axis=1)
+             + jnp.sum(lw_g * lhl_t[cc], axis=1))
+        safe = jnp.where(wth > 0, wth, 1.0)
+        t = jnp.where(vv > 0,
+                      vv * (s / safe - jnp.log(safe)), 0.0)
+        return acc - jnp.sum(t), None
+
+    acc, _ = lax.scan(body, jnp.zeros((), lw.dtype),
+                      (rows, cols, vals))
+    return acc
+
+
+def make_sparse_backend(chunk: int = 1 << 16):
+    """(suffstats, data_term) pair operating on SparseCounts 'x'."""
+    def sparse_suffstats(x, lw, lh):
+        return suffstats_coo(x, lw, lh, chunk=chunk)
+
+    def sparse_data_term(x, lw, lh):
+        return elbo_data_coo(x, lw, lh, chunk=chunk)
+
+    return sparse_suffstats, sparse_data_term

@@ -1,0 +1,413 @@
+"""Variational-Bayes NMF kernels (JAX / XLA, TPU-first).
+
+TPU-native redesign of the reference's hot path
+(src/vbnmf_update.cpp:16-102 and driver loop R/bayesian.R:303-390):
+
+* State is an immutable pytree (:class:`VBState`); one CAVI sweep is the
+  pure function :func:`vb_sweep` — three rank-r GEMMs on the MXU plus
+  fused element-wise gamma-posterior updates and digamma/lgamma on the
+  VPU.
+* The constant ``sum(lgamma(X+1))`` term of the ELBO is hoisted out of
+  the loop (the reference recomputes it every sweep,
+  src/vbnmf_update.cpp:80-81).
+* ``sum_ij (ew·eh)_ij`` is reduced in rank space as
+  ``dot(colsum(ew), rowsum(eh))`` instead of an n x m matmul
+  (identical by bilinearity; removes one O(n·m·r) GEMM per sweep).
+* Convergence is a ``lax.while_loop`` (:func:`vb_run`); independent
+  restarts batch via ``vmap`` (replacing the reference's Rmpi
+  restart farm, R/bayesian.R:262-263), and the per-restart
+  empirical-Bayes Newton update runs as a nested while_loop.
+
+All functions preserve input dtype: float32 on TPU, float64 on CPU for
+parity testing (the rebuild's useC=FALSE analog).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+from jax.scipy.special import digamma, gammaln, polygamma
+
+
+class Hyper(NamedTuple):
+    """Gamma-prior hyperparameters: shapes (aw, ah), means (bw, bh)."""
+    aw: jax.Array
+    bw: jax.Array
+    ah: jax.Array
+    bh: jax.Array
+
+
+class VBState(NamedTuple):
+    """Mean-field gamma posterior state for one factorization.
+
+    ew/eh: posterior means of W (n,r) and H (r,m);
+    lw/lh: exp(E[log .]) geometric means driving the multiplicative
+    updates; dw/dh: posterior variances; lkh: per-element ELBO.
+    """
+    ew: jax.Array
+    eh: jax.Array
+    lw: jax.Array
+    lh: jax.Array
+    dw: jax.Array
+    dh: jax.Array
+    lkh: jax.Array
+
+
+def _dtype_eps(dtype):
+    return jnp.finfo(dtype).eps
+
+
+def suffstats_dense(x, lw, lh):
+    """Sufficient statistics of one sweep on a dense count matrix.
+
+    sw = lw * ((x / (lw@lh)) @ lh^T),  sh = lh * (lw^T @ (x / (lw@lh))).
+    Kept as a seam so the Pallas fused kernel / sparse path can be
+    swapped in (see ops/pallas/vb_kernels.py).
+    """
+    acc = jnp.promote_types(x.dtype, jnp.float32)
+    wth = lax.dot(lw, lh, precision=lax.Precision.HIGHEST,
+                  preferred_element_type=acc)
+    xw = x / wth
+    sw = lw * lax.dot(xw, lh.T, precision=lax.Precision.HIGHEST,
+                      preferred_element_type=acc)
+    sh = lh * lax.dot(lw.T, xw, precision=lax.Precision.HIGHEST,
+                      preferred_element_type=acc)
+    return sw, sh
+
+
+def elbo_data_term(x, lw, lh):
+    """Data-dependent ELBO term  -sum x*(S/wth - log wth)  with
+    S = (lw log lw)@lh + lw@(lh log lh)."""
+    acc = jnp.promote_types(x.dtype, jnp.float32)
+    wth = lax.dot(lw, lh, precision=lax.Precision.HIGHEST,
+                  preferred_element_type=acc)
+    s = (lax.dot(lw * jnp.log(lw), lh, precision=lax.Precision.HIGHEST,
+                 preferred_element_type=acc)
+         + lax.dot(lw, lh * jnp.log(lh), precision=lax.Precision.HIGHEST,
+                   preferred_element_type=acc))
+    return -jnp.sum(x * (s / wth - jnp.log(wth)))
+
+
+def vb_sweep(x, state: VBState, hyper: Hyper, fudge, lgx,
+             suffstats=suffstats_dense,
+             data_term=elbo_data_term,
+             cell_mask=None, m_true=None) -> VBState:
+    """One CAVI sweep; exact math of reference src/vbnmf_update.cpp:33-90.
+
+    ``lgx`` is the precomputed constant  sum_ij lgamma(x_ij + 1).
+    ``suffstats`` / ``data_term`` are injection points for the Pallas /
+    sparse kernels; with those backends ``x`` may be zero-padded to tile
+    boundaries (padding contributes nothing), so the true (n, m) come
+    from the state shapes.
+
+    For mesh sharding, the cell axis may be zero-padded to the device
+    count: ``cell_mask`` is a (m_pad,) 0/1 vector marking real cells
+    and ``m_true`` the true cell count.  Masked padding contributes
+    exactly nothing: eh/dh are zeroed, lh pinned at ``fudge`` (keeping
+    W*H positive), and the U3 ELBO terms mask-summed.
+    """
+    n, r = state.lw.shape
+    m = m_true if m_true is not None else state.lh.shape[1]
+    aw, bw, ah, bh = hyper
+
+    sw, sh = suffstats(x, state.lw, state.lh)
+
+    alw = aw + sw
+    bew = 1.0 / (aw / bw + jnp.sum(state.eh, axis=1)[None, :])
+    ew = alw * bew                    # must precede the eh update
+    alh = ah + sh
+    beh = 1.0 / (ah / bh + jnp.sum(ew, axis=0)[:, None])
+    eh = alh * beh
+
+    lw = jnp.maximum(jnp.exp(digamma(alw)) * bew, fudge)
+    lh = jnp.maximum(jnp.exp(digamma(alh)) * beh, fudge)
+    dw = alw * bew ** 2
+    dh = alh * beh ** 2
+    if cell_mask is not None:
+        eh = eh * cell_mask
+        dh = dh * cell_mask
+        lh = jnp.where(cell_mask > 0, lh, fudge)
+
+    # ELBO: U1 data part; the -sum(ew@eh) term reduces in rank space.
+    u1 = (-jnp.dot(jnp.sum(ew, axis=0), jnp.sum(eh, axis=1)) - lgx
+          + data_term(x, lw, lh))
+    u2 = (jnp.sum(-(aw / bw) * ew + alw * (1.0 + jnp.log(bew))
+                  + gammaln(alw))
+          + n * r * (aw * jnp.log(aw / bw) - gammaln(aw)))
+    u3_elem = (-(ah / bh) * eh + alh * (1.0 + jnp.log(beh))
+               + gammaln(alh))
+    if cell_mask is not None:
+        u3_elem = u3_elem * cell_mask
+    u3 = (jnp.sum(u3_elem)
+          + r * m * (ah * jnp.log(ah / bh) - gammaln(ah)))
+    lkh = (u1 + u2 + u3) / (n * m)
+
+    return VBState(ew=ew, eh=eh, lw=lw, lh=lh, dw=dw, dh=dh, lkh=lkh)
+
+
+# ---------------------------------------------------------------------
+# Empirical-Bayes hyperparameter update (reference R/bayesian.R:2-53)
+# ---------------------------------------------------------------------
+
+def hyper_update(mask, state: VBState, hyper: Hyper, niter: int = 100,
+                 tol: float = 1e-4, cell_mask=None,
+                 m_true=None) -> tuple[Hyper, jax.Array]:
+    """Damped-Newton update of gamma shapes + closed-form means.
+
+    ``mask`` is a static 4-tuple of bools for (aw, bw, ah, bh).
+    Returns (new_hyper, failed_flag); the reference raises on Newton
+    non-convergence (R/bayesian.R:43) — inside jit we surface a status
+    flag instead (SURVEY.md §5 failure-detection note).
+
+    The reference always overwrites bh with mean(eh) even when
+    mask[3] is FALSE (R/bayesian.R:50-51, latent bug); here the mask is
+    honored.  ``cell_mask``/``m_true`` restrict the H-side means to
+    real cells under mesh padding.
+    """
+    mask = tuple(bool(b) for b in mask)
+    if not any(mask):
+        return hyper, jnp.asarray(False)
+
+    r = state.lh.shape[0]
+    lwm = jnp.mean(jnp.log(state.lw))
+    ewm = jnp.mean(state.ew)
+    if cell_mask is None:
+        lhm = jnp.mean(jnp.log(state.lh))
+        ehm = jnp.mean(state.eh)
+    else:
+        denom = r * m_true
+        lhm = jnp.sum(jnp.log(state.lh) * cell_mask) / denom
+        ehm = jnp.sum(state.eh) / denom   # eh already masked to 0
+    aw0, bw0, ah0, bh0 = hyper
+
+    if mask[0] or mask[2]:
+        def newton_step(a0, mean_e, mean_l, b0, enabled):
+            if not enabled:
+                return jnp.zeros_like(a0)
+            return ((jnp.log(a0) - digamma(a0) - mean_e / b0 + 1.0
+                     + mean_l - jnp.log(b0))
+                    / (1.0 / a0 - polygamma(1, a0)))
+
+        def positive_step(a0, d):
+            # halve d until a0 - d > 0 (bounded; reference uses a
+            # while loop, R/bayesian.R:28-35)
+            def cond(c):
+                d_, = c
+                return a0 - d_ <= 0
+
+            def body(c):
+                d_, = c
+                return (d_ / 2.0,)
+
+            (d,) = lax.while_loop(cond, body, (d,))
+            return d
+
+        def loop_cond(carry):
+            i, aw0, ah0, done = carry
+            return (~done) & (i < niter)
+
+        def loop_body(carry):
+            i, aw0, ah0, _ = carry
+            dw = newton_step(aw0, ewm, lwm, bw0, mask[0])
+            dh = newton_step(ah0, ehm, lhm, bh0, mask[2])
+            dw = positive_step(aw0, dw)
+            dh = positive_step(ah0, dh)
+            aw1 = aw0 - dw
+            ah1 = ah0 - dh
+            df = (1.0 - aw1 / aw0) ** 2 + (1.0 - ah1 / ah0) ** 2
+            return i + 1, aw1, ah1, df < tol
+
+        one = jnp.asarray(1)
+        i, aw1, ah1, done = lax.while_loop(
+            loop_cond, loop_body, (one, aw0, ah0, jnp.asarray(False)))
+        failed = ~done
+    else:
+        aw1, ah1 = aw0, ah0
+        failed = jnp.asarray(False)
+
+    bw1 = ewm if mask[1] else bw0
+    bh1 = ehm if mask[3] else bh0
+    return Hyper(aw=aw1, bw=bw1, ah=ah1, bh=bh1), failed
+
+
+# ---------------------------------------------------------------------
+# Initialization (reference vb_init, R/bayesian.R:109-171)
+# ---------------------------------------------------------------------
+
+def vb_init_random(key, n, m, rank, hyper: Hyper, dtype=jnp.float32
+                   ) -> VBState:
+    """Random init: W, H drawn from the gamma priors."""
+    kw, kh = jax.random.split(key)
+    aw = jnp.asarray(hyper.aw, dtype)
+    ah = jnp.asarray(hyper.ah, dtype)
+    w = jax.random.gamma(kw, aw, (n, rank), dtype) * (hyper.bw / hyper.aw)
+    h = jax.random.gamma(kh, ah, (rank, m), dtype) * (hyper.bh / hyper.ah)
+    zw = jnp.zeros((n, rank), dtype)
+    zh = jnp.zeros((rank, m), dtype)
+    return VBState(ew=w, eh=h, lw=w, lh=h, dw=zw, dh=zh,
+                   lkh=jnp.asarray(-jnp.inf, dtype))
+
+
+def vb_init_svd(x, rank, hyper: Hyper, variant: str = "svd2",
+                dtype=jnp.float32) -> VBState:
+    """Deterministic SVD-based inits.
+
+    ``'svd'``  — NNDSVD (Boutsidis & Gallopoulos 2008).  The reference's
+    version reuses the positive-part norms for the negative parts
+    (R/bayesian.R:135-136, a known bug); here the correct negative-part
+    norms are used.
+    ``'svd2'`` — truncated SVD, absolute values, scaled so mean(h)=bh
+    (reference R/bayesian.R:150-159).
+    """
+    import numpy as np
+    import scipy.sparse.linalg as spla
+
+    x = np.asarray(x, dtype=np.float64)
+    n, m = x.shape
+    if variant == "svd2" and min(n, m) / 2 > rank:
+        u, s, vt = spla.svds(x, k=rank)
+        order = np.argsort(-s)
+        u, s, vt = u[:, order], s[order], vt[order]
+    else:
+        u, s, vt = np.linalg.svd(x, full_matrices=False)
+        u, s, vt = u[:, :rank], s[:rank], vt[:rank]
+
+    if variant == "svd":
+        w = np.zeros((n, rank))
+        h = np.zeros((rank, m))
+        d1 = np.sqrt(s[0])
+        w[:, 0] = d1 * u[:, 0]
+        sgn = np.sign(w[0, 0]) if w[0, 0] != 0 else 1.0
+        if sgn < 0:
+            w = -w
+        h[0, :] = sgn * d1 * vt[0]
+        for k in range(1, rank):
+            xv, yv = u[:, k], vt[k]
+            xp, xn = np.maximum(xv, 0), np.maximum(-xv, 0)
+            yp, yn = np.maximum(yv, 0), np.maximum(-yv, 0)
+            xpn, ypn = np.linalg.norm(xp), np.linalg.norm(yp)
+            xnn, ynn = np.linalg.norm(xn), np.linalg.norm(yn)
+            mp, mn = xpn * ypn, xnn * ynn
+            if mp >= mn:
+                uu, vv, sig = xp / max(xpn, 1e-300), yp / max(ypn, 1e-300), mp
+            else:
+                uu, vv, sig = xn / max(xnn, 1e-300), yn / max(ynn, 1e-300), mn
+            w[:, k] = np.sqrt(s[k] * sig) * uu
+            h[k, :] = np.sqrt(s[k] * sig) * vv
+        eps = np.finfo(np.float64).eps
+        w = np.maximum(w, eps)
+        h = np.maximum(h, eps)
+    elif variant == "svd2":
+        w = np.abs(u)
+        h = np.abs(np.diag(s) @ vt)
+        scale = float(hyper.bh) / h.mean()
+        h = h * scale
+        w = w / scale
+    else:
+        raise ValueError(f"Unknown initializer {variant!r}")
+
+    w = jnp.asarray(w, dtype)
+    h = jnp.asarray(h, dtype)
+    zw = jnp.zeros((n, rank), dtype)
+    zh = jnp.zeros((rank, m), dtype)
+    return VBState(ew=w, eh=h, lw=w, lh=h, dw=zw, dh=zh,
+                   lkh=jnp.asarray(-jnp.inf, dtype))
+
+
+# ---------------------------------------------------------------------
+# Convergence loop for one restart (reference vb_iterate hot loop,
+# R/bayesian.R:337-352)
+# ---------------------------------------------------------------------
+
+class VBRunResult(NamedTuple):
+    state: VBState
+    hyper: Hyper
+    lml: jax.Array          # recorded log evidence (see note below)
+    n_iter: jax.Array
+    hyper_failed: jax.Array
+
+
+@partial(jax.jit, static_argnames=("itmax", "hyper_mask", "n0", "dn",
+                                   "suffstats", "data_term", "m_true"))
+def vb_run(x, state0: VBState, hyper0: Hyper, *, itmax: int = 10000,
+           tol: float = 1e-5, fudge=None, hyper_mask=(True,) * 4,
+           n0: int = 10, dn: int = 1,
+           suffstats=suffstats_dense,
+           data_term=elbo_data_term,
+           cell_mask=None, m_true=None) -> VBRunResult:
+    """Iterate vb_sweep to convergence for a single restart.
+
+    Stopping mirrors the reference (R/bayesian.R:345-348): after the
+    first ``n0`` sweeps, stop when the ELBO is non-decreasing and its
+    relative change is below ``tol`` (or on NaN).  The recorded ``lml``
+    is the ELBO of the penultimate sweep, exactly as the reference
+    records ``lk0`` (R/bayesian.R:348,379).
+
+    vmap-compatible: batching over restarts turns the while_loop into a
+    run-until-all-converged masked loop.
+
+    ``x`` may be a dense array, a Pallas-padded dense array, or a
+    ops.sparse.SparseCounts pytree (with matching suffstats/data_term
+    backends); lgamma(x+1) over zeros is 0, so the hoisted constant is
+    the same in every layout.
+    """
+    # SparseCounts -> its nonzero values; plain (possibly traced)
+    # arrays pass through
+    xval = x.val if isinstance(x, tuple) and hasattr(x, "val") else x
+    if fudge is None:
+        fudge = _dtype_eps(xval.dtype)
+    fudge = jnp.asarray(fudge, xval.dtype)
+    lgx = jnp.sum(gammaln(xval + 1.0))
+    tol = jnp.asarray(tol, xval.dtype)
+    if cell_mask is not None:
+        # zero out padded cells in the initial state
+        state0 = state0._replace(
+            eh=state0.eh * cell_mask, dh=state0.dh * cell_mask,
+            lh=jnp.where(cell_mask > 0, state0.lh, fudge))
+
+    def cond(carry):
+        it, _, _, _, done, _ = carry
+        return (~done) & (it <= itmax)
+
+    def body(carry):
+        it, state, hyper, lk0, done, hfail = carry
+        state = vb_sweep(x, state, hyper, fudge, lgx,
+                         suffstats=suffstats, data_term=data_term,
+                         cell_mask=cell_mask, m_true=m_true)
+        do_hyper = (it > n0) & (it % dn == 0)
+
+        def upd(h):
+            return hyper_update(hyper_mask, state, h,
+                                cell_mask=cell_mask, m_true=m_true)
+
+        def keep(h):
+            return h, jnp.asarray(False)
+
+        hyper, failed = lax.cond(do_hyper, upd, keep, hyper)
+        hfail = hfail | (do_hyper & failed)
+
+        lkh = state.lkh
+        nan_stop = jnp.isnan(lkh)
+        conv = ((it > 1) & (it > n0) & (lkh >= lk0)
+                & (jnp.abs(1.0 - lkh / lk0) < tol))
+        done = nan_stop | conv
+        lk0 = jnp.where(done, lk0, lkh)   # reference keeps previous lk0
+        return it + 1, state, hyper, lk0, done, hfail
+
+    it0 = jnp.asarray(1)
+    lk0 = jnp.asarray(0.0, xval.dtype)
+    carry = (it0, state0, hyper0, lk0, jnp.asarray(False),
+             jnp.asarray(False))
+    it, state, hyper, lk0, done, hfail = lax.while_loop(cond, body, carry)
+    return VBRunResult(state=state, hyper=hyper, lml=lk0,
+                       n_iter=it - 1, hyper_failed=hfail)
+
+
+def uniform_columns(ew, tol) -> jax.Array:
+    """Per-column degeneracy flags: |max - min| < tol
+    (reference R/bayesian.R:368-369)."""
+    return (jnp.max(ew, axis=0) - jnp.min(ew, axis=0)) < tol

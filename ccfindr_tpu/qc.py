@@ -1,0 +1,203 @@
+"""Quality-control filtering and normalization.
+
+Equivalents of reference filter_cells (R/utils.R:78-95), filter_genes
+(R/utils.R:134-218), normalize_count (R/utils.R:318-327), plus VMR and
+mode-gene helpers.  All statistics are computed sparsely — no
+densification (the reference needed a special save.memory mode;
+here sparse row reductions are the only path).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import scipy.sparse as sp
+
+from .container import SCSet, remove_zeros
+
+
+def filter_cells(obj: SCSet, umi_min: float = 0, umi_max: float = np.inf,
+                 plot: bool = False, remove_zeros_: bool = True,
+                 ax=None) -> SCSet:
+    """Keep cells with total UMI count in [umi_min, umi_max]
+    (reference R/utils.R:78-95)."""
+    umi = np.asarray(obj.counts.sum(axis=0)).ravel()
+    selected = (umi >= umi_min) & (umi <= umi_max)
+    if plot:
+        plot_cells(obj, umi_min=umi_min, umi_max=umi_max, ax=ax)
+    out = obj[np.arange(obj.n_genes), np.nonzero(selected)[0]]
+    return remove_zeros(out) if remove_zeros_ else out
+
+
+def plot_cells(obj: SCSet, umi_min: float = 0, umi_max: float = np.inf,
+               ax=None):
+    """Histogram of per-cell log10 UMI counts with the selected band."""
+    import matplotlib.pyplot as plt
+    umi = np.asarray(obj.counts.sum(axis=0)).ravel()
+    if ax is None:
+        _, ax = plt.subplots()
+    counts, edges, patches = ax.hist(np.log10(np.maximum(umi, 1)),
+                                     bins=30, edgecolor="k",
+                                     color="white")
+    if umi_min > 0 or np.isfinite(umi_max):
+        lo, hi = np.log10(max(umi_min, 1)), np.log10(umi_max)
+        mids = 0.5 * (edges[:-1] + edges[1:])
+        for mid, patch in zip(mids, patches):
+            if lo <= mid <= hi:
+                patch.set_facecolor("red")
+    ax.set_title("Cells")
+    ax.set_xlabel("log10 UMI count")
+    return ax
+
+
+def calc_vmr(count: sp.spmatrix) -> np.ndarray:
+    """Variance-to-mean ratio per gene, computed sparsely.
+
+    Matches reference calc_vmr (R/utils.R:197-218): variance uses the
+    n-1 denominator of rowVars (R/utils.R:341-344).
+    """
+    count = count.tocsr()
+    n, m = count.shape
+    mean = np.asarray(count.mean(axis=1)).ravel()
+    sq = count.copy()
+    sq.data = sq.data ** 2
+    ex2 = np.asarray(sq.sum(axis=1)).ravel()
+    # sum((x - mean)^2) = sum(x^2) - 2 mean sum(x) + m mean^2
+    ssq = ex2 - m * mean ** 2
+    var = ssq / (m - 1)
+    with np.errstate(divide="ignore", invalid="ignore"):
+        return var / mean
+
+
+def has_mode(g: np.ndarray) -> bool:
+    """True if the count histogram (excluding implicit zeros below the
+    first value) is non-monotone increasing anywhere — i.e. the nonzero
+    count distribution has a mode (reference R/utils.R:329-339)."""
+    vals, cnts = np.unique(np.asarray(g).ravel(), return_counts=True)
+    if len(vals) < 2:
+        return False
+    return bool(np.any(cnts[:-1] < cnts[1:]))
+
+
+def filter_genes(obj: SCSet, markers=None, vmr_min: float = 0,
+                 min_cells_expressed: float = 0,
+                 max_cells_expressed: float = np.inf,
+                 rescue_genes: bool = False, plot: bool = False,
+                 verbose: bool = True, ax=None) -> SCSet:
+    """Select genes by VMR and expression breadth
+    (reference R/utils.R:134-194).
+
+    Genes expressed in zero cells are dropped first.  Marker genes
+    (matched against any row_data column) are always kept.  With
+    ``rescue_genes``, non-variable genes whose nonzero count
+    distribution has a mode are also kept.
+    """
+    ncexpr_all = np.asarray((obj.counts > 0).sum(axis=1)).ravel()
+    keep = ncexpr_all > 0
+    count = obj.counts[keep]
+    ncexpr = ncexpr_all[keep]
+    ngenes = count.shape[0]
+
+    selected = np.zeros(ngenes, dtype=bool)
+    marker_genes = None
+    if markers is not None:
+        markers = set(map(str, markers))
+        sub_rd = obj.row_data.iloc[keep]
+        for col in sub_rd.columns:
+            selected |= sub_rd[col].astype(str).isin(markers).to_numpy()
+        selected |= sub_rd.index.astype(str).isin(markers).to_numpy()
+        marker_genes = selected.copy()
+
+    vmr = calc_vmr(count)
+    variable = ((vmr > vmr_min) & (ncexpr >= min_cells_expressed)
+                & (ncexpr <= max_cells_expressed))
+
+    mode_genes = None
+    if rescue_genes and variable.sum() < ngenes:
+        mode_genes = np.zeros(ngenes, dtype=bool)
+        csr = count.tocsr()
+        for i in range(ngenes):
+            if variable[i]:
+                continue
+            row = csr.getrow(i)
+            full = np.zeros(csr.shape[1])
+            full[row.indices] = row.data
+            mode_genes[i] = has_mode(full)
+        selected = selected | variable | mode_genes
+    else:
+        selected = selected | variable
+
+    if verbose:
+        if marker_genes is not None and marker_genes.sum() > 0:
+            print(f"{int(marker_genes.sum())} marker genes found")
+        if vmr_min > 0 or min_cells_expressed > 0 or np.isfinite(
+                max_cells_expressed):
+            print(f"{int(variable.sum())} variable genes out of "
+                  f"{obj.n_genes}")
+            if rescue_genes:
+                print(f"{int((selected & ~variable).sum())} additional "
+                      "genes rescued")
+            print(f"{int(selected.sum())} genes selected")
+
+    if plot:
+        plot_genes(obj, vmr=vmr, ncexpr=ncexpr, selected_genes=selected,
+                   variable_genes=variable, mode_genes=mode_genes,
+                   marker_genes=marker_genes, ax=ax)
+
+    rows = np.nonzero(keep)[0][selected]
+    return obj[rows, np.arange(obj.n_cells)]
+
+
+def plot_genes(obj: SCSet, vmr=None, ncexpr=None, selected_genes=None,
+               variable_genes=None, mode_genes=None, marker_genes=None,
+               log: str = "xy", cex: float = 8.0, ax=None):
+    """VMR-vs-#cells-expressed scatter (reference R/utils.R:251-296)."""
+    import matplotlib.pyplot as plt
+
+    if ncexpr is None or vmr is None:
+        ncexpr = np.asarray((obj.counts > 0).sum(axis=1)).ravel()
+        keep = ncexpr > 0
+        count = obj.counts[keep]
+        ncexpr = ncexpr[keep]
+        vmr = calc_vmr(count)
+    pos = vmr > 0
+    ncexpr, vmr = ncexpr[pos], vmr[pos]
+
+    def _sub(mask):
+        return None if mask is None else np.asarray(mask)[pos]
+
+    selected_genes = _sub(selected_genes)
+    variable_genes = _sub(variable_genes)
+    mode_genes = _sub(mode_genes)
+    marker_genes = _sub(marker_genes)
+    if selected_genes is None:
+        selected_genes = np.zeros(len(vmr), dtype=bool)
+
+    if ax is None:
+        _, ax = plt.subplots()
+    ax.scatter(ncexpr[~selected_genes], vmr[~selected_genes], s=cex,
+               facecolors="white", edgecolors="gray", lw=0.5)
+    for mask, color in ((variable_genes, "red"), (mode_genes, "blue"),
+                        (marker_genes, "orange")):
+        if mask is not None and mask.any():
+            ax.scatter(ncexpr[mask], vmr[mask], s=cex, facecolors=color,
+                       edgecolors="k", lw=0.3)
+    if "x" in log:
+        ax.set_xscale("log")
+    if "y" in log:
+        ax.set_yscale("log")
+    ax.set_xlabel("No. of cells expressed")
+    ax.set_ylabel("VMR")
+    ax.set_title("Genes")
+    return ax
+
+
+def normalize_count(obj: SCSet) -> SCSet:
+    """Rescale every cell to the median library size
+    (reference R/utils.R:318-327).  Output counts become floats."""
+    count = obj.counts.astype(np.float64)
+    umi = np.asarray(count.sum(axis=0)).ravel()
+    med = np.median(umi)
+    scale = sp.diags(med / umi)
+    out = obj[np.arange(obj.n_genes), np.arange(obj.n_cells)]
+    out.counts = (count @ scale).tocsr()
+    return out

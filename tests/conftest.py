@@ -1,0 +1,42 @@
+"""Test configuration: force CPU with 8 virtual devices and float64.
+
+Sharding logic is tested on a virtual CPU mesh
+(xla_force_host_platform_device_count=8) so multi-chip paths run
+without a pod; float64 enables parity testing against the NumPy
+reference oracle (the reference's useC=FALSE analog).
+"""
+
+import os
+
+# force-override: the session environment pins JAX_PLATFORMS=axon (TPU
+# tunnel); tests must run on the virtual CPU mesh, and float64 is not
+# supported on the axon platform.
+os.environ["JAX_PLATFORMS"] = "cpu"
+flags = os.environ.get("XLA_FLAGS", "")
+if "host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8").strip()
+
+import jax  # noqa: E402
+
+# The axon TPU plugin hooks jax's backend selection and ignores the
+# JAX_PLATFORMS env var; the config update below does take effect.
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_enable_x64", True)
+
+import matplotlib  # noqa: E402
+
+matplotlib.use("Agg")
+
+import numpy as np  # noqa: E402
+import pytest  # noqa: E402
+
+
+@pytest.fixture(scope="session")
+def rng():
+    return np.random.default_rng(42)
+
+
+@pytest.fixture(scope="session")
+def pbmc_dir():
+    return "/root/reference/inst/extdata"

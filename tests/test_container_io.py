@@ -1,0 +1,155 @@
+"""Container, I/O, QC, and simulator tests."""
+
+import numpy as np
+import pandas as pd
+import pytest
+import scipy.sparse as sp
+
+import ccfindr_tpu as cf
+
+
+def test_scset_basic(rng):
+    x = rng.poisson(3, size=(8, 5))
+    x[0] += 1  # ensure no empty first row after poisson
+    s = cf.SCSet(count=x, remove_zeros=False)
+    assert s.shape == (8, 5)
+    assert (s.counts.toarray() == x).all()
+
+
+def test_scset_rejects_negative():
+    with pytest.raises(ValueError, match="negative"):
+        cf.SCSet(count=np.array([[1, -2], [0, 3]]))
+
+
+def test_remove_zeros():
+    x = np.array([[1, 0, 2], [0, 0, 0], [3, 0, 1]])
+    s = cf.SCSet(count=x, remove_zeros=True)
+    assert s.shape == (2, 2)
+    out = cf.remove_zeros(x)
+    assert out.shape == (2, 2)
+
+
+def test_subsetting_slices_factors(rng):
+    x = rng.poisson(3, size=(10, 6)) + 1
+    s = cf.SCSet(count=x)
+    s.ranks = [2]
+    s.basis = [rng.random((10, 2))]
+    s.dbasis = [rng.random((10, 2))]
+    s.coeff = [rng.random((2, 6))]
+    s.dcoeff = [rng.random((2, 6))]
+    sub = s[np.arange(3), np.arange(4)]
+    assert sub.counts.shape == (3, 4)
+    assert sub.basis[0].shape == (3, 2)
+    assert sub.coeff[0].shape == (2, 4)
+    assert sub.dbasis[0].shape == (3, 2)
+    assert sub.dcoeff[0].shape == (2, 4)
+
+
+def test_validity():
+    s = cf.SCSet(count=np.ones((3, 3)))
+    s.ranks = [2, 3]
+    s.basis = [np.ones((3, 2))]
+    s.coeff = [np.ones((2, 3))]
+    with pytest.raises(ValueError, match="length do not match"):
+        s.validate()
+
+
+def test_read_10x_pbmc(pbmc_dir):
+    s = cf.read_10x(pbmc_dir)
+    assert s.n_genes <= 1030 and s.n_cells <= 450
+    assert s.counts.nnz > 0
+    # values: spot check against the raw file header
+    assert s.row_data.shape[1] >= 2  # ensembl id + symbol
+
+
+def test_write_read_roundtrip(tmp_path, rng):
+    x = sp.random(20, 15, density=0.3, random_state=7,
+                  data_rvs=lambda k: rng.integers(1, 9, k)).tocsr()
+    x[0, 0] = 1  # no empty row 0
+    s = cf.SCSet(count=x, row_data=[f"g{i}" for i in range(20)],
+                 col_data=[f"c{j}" for j in range(15)],
+                 remove_zeros=False)
+    cf.write_10x(s, str(tmp_path))
+    s2 = cf.read_10x(str(tmp_path), remove_zeros=False)
+    np.testing.assert_allclose(s.counts.toarray(), s2.counts.toarray())
+
+
+def test_filter_cells(rng):
+    x = rng.poisson(3, size=(40, 30))
+    s = cf.SCSet(count=x)
+    umi = np.asarray(s.counts.sum(axis=0)).ravel()
+    lo, hi = np.quantile(umi, [0.2, 0.8])
+    f = cf.filter_cells(s, umi_min=lo, umi_max=hi)
+    assert f.n_cells == ((umi >= lo) & (umi <= hi)).sum() or \
+        f.n_cells <= ((umi >= lo) & (umi <= hi)).sum()  # zeros removed
+
+
+def test_calc_vmr_matches_dense(rng):
+    x = rng.poisson(1.5, size=(25, 40)).astype(float)
+    xs = sp.csr_matrix(x)
+    vmr = cf.calc_vmr(xs)
+    mean = x.mean(axis=1)
+    var = x.var(axis=1, ddof=1)
+    np.testing.assert_allclose(vmr, var / mean, rtol=1e-10)
+
+
+def test_filter_genes(rng):
+    x = rng.poisson(2, size=(50, 30))
+    x[:5] *= 10  # high-variance genes
+    s = cf.SCSet(count=x, remove_zeros=False)
+    f = cf.filter_genes(s, vmr_min=1.0, min_cells_expressed=5,
+                        verbose=False)
+    assert 0 < f.n_genes <= 50
+
+
+def test_has_mode():
+    assert cf.has_mode(np.array([0, 0, 1, 2, 2, 2, 3]))   # mode at 2
+    assert not cf.has_mode(np.array([0, 0, 0, 1]))         # monotone dec
+    assert not cf.has_mode(np.array([5, 5, 5]))            # single value
+
+
+def test_normalize_count(rng):
+    x = rng.poisson(3, size=(30, 20)) + 1
+    s = cf.SCSet(count=x)
+    ns = cf.normalize_count(s)
+    umi = np.asarray(ns.counts.sum(axis=0)).ravel()
+    np.testing.assert_allclose(umi, np.median(x.sum(axis=0)), rtol=1e-10)
+
+
+def test_simulate_whx_properties():
+    sim = cf.simulate_whx(nrow=50, ncol=100, rank=5, seed=1)
+    assert sim["x"].shape[0] <= 50 and sim["x"].shape[1] <= 100
+    assert sim["w"].shape[1] == 5 and sim["h"].shape[0] == 5
+    assert (sim["x"] >= 0).all()
+    assert (sim["x"].sum(axis=1) > 0).all()
+    assert (sim["x"].sum(axis=0) > 0).all()
+
+
+def test_simulate_data_multinomial():
+    x = cf.simulate_data(nfeatures=10, nsamples=[20, 20, 60], seed=2)
+    assert x.shape == (10, 100)
+    np.testing.assert_allclose(x.sum(axis=0), 100)  # size = 10*10
+
+
+def test_simulate_data_factors():
+    sim = cf.simulate_data(nfeatures=12, nsamples=[10, 15, 20],
+                           generate_factors=True, seed=3)
+    assert sim["x"].shape == (12, 45)
+    assert sim["w"].shape == (12, 3)
+    assert sim["h"].shape == (3, 45)
+
+
+def test_checkpoint_roundtrip(tmp_path, rng):
+    x = rng.poisson(3, size=(10, 8)) + 1
+    s = cf.SCSet(count=x)
+    s.ranks = [2]
+    s.basis = [rng.random((10, 2))]
+    s.dbasis = [rng.random((10, 2))]
+    s.coeff = [rng.random((2, 8))]
+    s.dcoeff = [rng.random((2, 8))]
+    s.measure = pd.DataFrame({"rank": [2], "lml": [-1.5]})
+    path = str(tmp_path / "ckpt")
+    cf.save_checkpoint(s, path)
+    s2 = cf.load_checkpoint(s, path)
+    np.testing.assert_allclose(s2.basis[0], s.basis[0])
+    assert s2.measure["lml"][0] == -1.5

@@ -1,0 +1,92 @@
+"""VB driver tests: end-to-end factorization, oracle recovery,
+measure-table contract, degeneracy handling."""
+
+import numpy as np
+import pytest
+
+import ccfindr_tpu as cf
+
+
+def test_vb_factorize_fills_slots():
+    sim = cf.simulate_whx(nrow=30, ncol=50, rank=3, seed=11)
+    s = cf.SCSet(count=sim["x"])
+    s = cf.vb_factorize(s, ranks=[2, 3], nrun=2, verbose=0, Itmax=500)
+    assert s.ranks == [2, 3]
+    assert list(s.measure.columns) == ["rank", "lml", "aw", "bw", "ah",
+                                       "bh", "nunif"]
+    assert s.basis[0].shape == (s.n_genes, 2)
+    assert s.coeff[1].shape == (3, s.n_cells)
+    assert s.dbasis[0].shape == (s.n_genes, 2)
+    assert (s.dbasis[0] >= 0).all()
+    assert np.isfinite(s.measure["lml"]).all()
+
+
+def test_vb_factorize_empty_guards():
+    x = np.array([[1, 2, 0], [0, 0, 0], [2, 1, 0]])
+    with pytest.raises(ValueError, match="empty"):
+        cf.vb_factorize(cf.SCSet(count=x, remove_zeros=False), ranks=2,
+                        verbose=0)
+
+
+def test_vb_factorize_rank_capped_to_ncol():
+    sim = cf.simulate_whx(nrow=40, ncol=6, rank=2, seed=12)
+    s = cf.SCSet(count=sim["x"])
+    m = s.n_cells
+    s = cf.vb_factorize(s, ranks=[2, m + 5], nrun=1, verbose=0,
+                        Itmax=200)
+    assert s.ranks == [2]
+
+
+def test_vb_svd_initializers():
+    sim = cf.simulate_whx(nrow=25, ncol=30, rank=3, seed=13)
+    s = cf.SCSet(count=sim["x"])
+    for init in ("svd", "svd2"):
+        out = cf.vb_factorize(s, ranks=3, nrun=1, verbose=0,
+                              initializer=init, Itmax=300)
+        assert out.ranks == [3]
+        assert np.isfinite(out.measure["lml"]).all()
+    with pytest.raises(ValueError, match="nrun"):
+        cf.vb_factorize(s, ranks=3, nrun=2, initializer="svd2")
+
+
+def test_planted_rank_recovery():
+    """simulate_whx data generated at rank 5 -> evidence peaks at 5.
+
+    The statistical oracle from the reference's vignette workflow
+    (vignettes/ccfindR.Rmd:414-423).
+    """
+    sim = cf.simulate_whx(nrow=60, ncol=120, rank=5, aw=0.5, bw=1.0,
+                          ah=0.5, bh=1.0, seed=1)
+    s = cf.SCSet(count=sim["x"])
+    s = cf.vb_factorize(s, ranks=list(range(2, 9)), nrun=3, verbose=0,
+                        Itmax=2000, seed=3)
+    opt = cf.optimal_rank(s)
+    assert opt["ropt"] in (4, 5, 6), f"got {opt}"
+
+
+def test_cluster_recovery_concordance():
+    """Planted hard clusters recovered by argmax-H assignment."""
+    x = cf.simulate_data(nfeatures=20, nsamples=[30, 30, 40],
+                         generate_factors=True, seed=21)
+    true = np.argmax(x["h"], axis=0)
+    # only all-zero genes can occur; cells always have counts
+    s = cf.SCSet(count=x["x"], remove_zeros=True)
+    assert s.n_cells == len(true)
+    s = cf.vb_factorize(s, ranks=3, nrun=3, verbose=0, Itmax=1000,
+                        seed=5)
+    cid = cf.cluster_id(s, rank=3).to_numpy() - 1
+    # concordance up to label permutation via contingency argmax
+    tab = np.zeros((3, 3))
+    for a, b in zip(true, cid):
+        tab[a, b] += 1
+    acc = sum(tab.max(axis=0)) / len(cid)
+    assert acc > 0.95, f"cluster concordance {acc}"
+
+
+def test_vb_reproducible_with_seed():
+    sim = cf.simulate_whx(nrow=20, ncol=25, rank=2, seed=31)
+    s = cf.SCSet(count=sim["x"])
+    a = cf.vb_factorize(s, ranks=2, nrun=2, verbose=0, Itmax=200, seed=7)
+    b = cf.vb_factorize(s, ranks=2, nrun=2, verbose=0, Itmax=200, seed=7)
+    np.testing.assert_allclose(a.basis[0], b.basis[0])
+    np.testing.assert_allclose(a.measure["lml"], b.measure["lml"])

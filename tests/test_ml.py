@@ -1,0 +1,122 @@
+"""ML (Lee–Seung) kernel tests vs the NumPy oracle + consensus stats."""
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+import ccfindr_tpu as cf
+from ccfindr_tpu.ops import ml as ml_ops
+from ccfindr_tpu.ops import consensus as cons
+from ccfindr_tpu.ops import reference_impl as ref
+
+
+def _problem(n=20, m=16, r=3, seed=0):
+    rng = np.random.default_rng(seed)
+    x = rng.poisson(2.0, size=(n, m)).astype(np.float64) + \
+        (rng.random((n, m)) < 0.05)
+    x[x.sum(axis=1) == 0, 0] += 1
+    x[0, x.sum(axis=0) == 0] += 1
+    w = rng.random((n, r))
+    h = rng.random((r, m))
+    return x, w, h
+
+
+def test_ml_sweep_matches_oracle():
+    x, w, h = _problem()
+    eps = np.finfo(np.float64).eps
+    wj, hj = ml_ops.ml_sweep(jnp.asarray(x), jnp.asarray(w),
+                             jnp.asarray(h), eps)
+    wn, hn = ref.ml_sweep_np(x, w.copy(), h.copy())
+    np.testing.assert_allclose(np.asarray(wj), wn, rtol=1e-10)
+    np.testing.assert_allclose(np.asarray(hj), hn, rtol=1e-10)
+
+
+def test_likelihood_matches_oracle():
+    x, w, h = _problem(seed=1)
+    lg = ml_ops.likelihood_const(jnp.asarray(x))
+    lj = ml_ops.likelihood(jnp.asarray(x), jnp.asarray(w),
+                           jnp.asarray(h), lg)
+    ln = ref.likelihood_np(x, w, h)
+    np.testing.assert_allclose(float(lj), ln, rtol=1e-10)
+
+
+def test_likelihood_increases():
+    x, w, h = _problem(seed=2)
+    eps = np.finfo(np.float64).eps
+    prev = -np.inf
+    for _ in range(30):
+        w, h = ref.ml_sweep_np(x, w, h)
+        lk = ref.likelihood_np(x, w, h)
+        assert lk >= prev - 1e-12
+        prev = lk
+
+
+def test_ml_run_converges():
+    x, w, h = _problem(n=30, m=25, r=3, seed=3)
+    res = ml_ops.ml_run(jnp.asarray(x), jnp.asarray(w), jnp.asarray(h),
+                        itmax=2000, tol=1e-6)
+    assert int(res.n_iter) < 2000
+    assert np.isfinite(float(res.lkh))
+
+
+def test_ml_run_connectivity_criterion():
+    x, w, h = _problem(n=30, m=25, r=3, seed=4)
+    res = ml_ops.ml_run(jnp.asarray(x), jnp.asarray(w), jnp.asarray(h),
+                        itmax=2000, criterion="connectivity",
+                        ncnn_step=20)
+    assert int(res.n_iter) < 2000
+
+
+def test_partitions_equal():
+    r = 4
+    a = jnp.asarray([0, 0, 1, 2, 2])
+    b = jnp.asarray([3, 3, 0, 1, 1])  # same partition, relabeled
+    c = jnp.asarray([0, 1, 1, 2, 2])  # different partition
+    assert bool(ml_ops.partitions_equal(a, b, r))
+    assert bool(ml_ops.partitions_equal(a, a, r))
+    assert not bool(ml_ops.partitions_equal(a, c, r))
+
+
+def test_connectivity_matches_reference_ordering():
+    h = np.array([[0.9, 0.1, 0.2, 0.8],
+                  [0.1, 0.9, 0.8, 0.2]])
+    cnn = cons.connectivity(h=h)
+    # cid = [1, 2, 2, 1]; pairs (1,2),(1,3),(1,4),(2,3),(2,4),(3,4)
+    np.testing.assert_allclose(cnn, [0, 0, 1, 1, 0, 0])
+
+
+def test_dispersion_bounds():
+    nc = 10
+    cnn_perfect = np.ones(nc * (nc - 1) // 2)
+    assert abs(cons.dispersion(cnn_perfect, nc) - (1 / nc + 8 * (
+        nc * (nc - 1) / 2 * 0.25) / nc ** 2)) < 1e-12
+    cnn_mixed = np.full(nc * (nc - 1) // 2, 0.5)
+    assert cons.dispersion(cnn_mixed, nc) == 1 / nc
+
+
+def test_cophenet_on_clean_clusters():
+    cid = np.array([0] * 5 + [1] * 5 + [2] * 5)
+    cnn = cons.connectivity(cid=cid)
+    coph = cons.cophenet(cnn, 15)
+    assert coph > 0.99
+
+
+def test_factorize_driver_smoke():
+    x = cf.simulate_data(nfeatures=10, nsamples=[20, 20, 30], seed=5)
+    s = cf.SCSet(count=x)
+    s = cf.factorize(s, ranks=[2, 3], nrun=3, verbose=0, Itmax=500)
+    assert s.ranks == [2, 3]
+    assert list(s.measure.columns) == ["rank", "likelihood",
+                                       "dispersion", "cophenetic"]
+    assert s.basis[0].shape[1] == 2
+    assert s.coeff[1].shape[0] == 3
+    assert np.isfinite(s.measure["likelihood"]).all()
+
+
+def test_factorize_randomize_se_columns():
+    x = cf.simulate_data(nfeatures=8, nsamples=[10, 15], seed=6)
+    s = cf.SCSet(count=x)
+    s = cf.factorize(s, ranks=2, nrun=2, randomize=True, nsmpl=2,
+                     verbose=0, Itmax=200)
+    assert {"r_se", "d_se", "c_se"} <= set(s.measure.columns)

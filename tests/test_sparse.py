@@ -1,0 +1,108 @@
+"""Sparse COO kernel differential tests vs the dense path."""
+
+import numpy as np
+import scipy.sparse as sp
+
+import jax
+import jax.numpy as jnp
+
+import ccfindr_tpu as cf
+from ccfindr_tpu.ops import sparse as sk
+from ccfindr_tpu.ops import vb as vb_ops
+from ccfindr_tpu.ops.vb import Hyper, VBState
+
+
+def _sparse_problem(n=40, m=60, r=4, density=0.2, seed=0):
+    rng = np.random.default_rng(seed)
+    x = (rng.random((n, m)) < density) * rng.poisson(3.0, (n, m))
+    x = x.astype(np.float64)
+    x[x.sum(axis=1) == 0, 0] += 1
+    x[0, x.sum(axis=0) == 0] += 1
+    lw = rng.gamma(1.0, 1.0, size=(n, r))
+    lh = rng.gamma(1.0, 1.0, size=(r, m))
+    return x, lw, lh
+
+
+def test_from_scipy_roundtrip():
+    x, _, _ = _sparse_problem()
+    sc = sk.from_scipy(sp.csr_matrix(x), dtype=jnp.float64, chunk=64)
+    assert sc.row.shape[0] % 64 == 0
+    dense = np.zeros((sc.n + 1, sc.m + 1))
+    np.add.at(dense, (np.asarray(sc.row), np.asarray(sc.col)),
+              np.asarray(sc.val))
+    np.testing.assert_allclose(dense[:sc.n, :sc.m], x)
+
+
+def test_suffstats_coo_matches_dense():
+    x, lw, lh = _sparse_problem()
+    sc = sk.from_dense(x, dtype=jnp.float64, chunk=128)
+    sw_d, sh_d = vb_ops.suffstats_dense(jnp.asarray(x), jnp.asarray(lw),
+                                        jnp.asarray(lh))
+    sw_s, sh_s = sk.suffstats_coo(sc, jnp.asarray(lw), jnp.asarray(lh),
+                                  chunk=128)
+    np.testing.assert_allclose(np.asarray(sw_s), np.asarray(sw_d),
+                               rtol=1e-10)
+    np.testing.assert_allclose(np.asarray(sh_s), np.asarray(sh_d),
+                               rtol=1e-10)
+
+
+def test_elbo_data_coo_matches_dense():
+    x, lw, lh = _sparse_problem(seed=1)
+    sc = sk.from_dense(x, dtype=jnp.float64, chunk=128)
+    ref = vb_ops.elbo_data_term(jnp.asarray(x), jnp.asarray(lw),
+                                jnp.asarray(lh))
+    out = sk.elbo_data_coo(sc, jnp.asarray(lw), jnp.asarray(lh),
+                           chunk=128)
+    np.testing.assert_allclose(float(out), float(ref), rtol=1e-10)
+
+
+def test_lgamma_term_matches_dense():
+    x, _, _ = _sparse_problem(seed=2)
+    sc = sk.from_dense(x, dtype=jnp.float64)
+    ref = float(jnp.sum(jax.scipy.special.gammaln(jnp.asarray(x) + 1.0)))
+    np.testing.assert_allclose(float(sk.lgamma_term(sc)), ref,
+                               rtol=1e-12)
+
+
+def test_vb_run_sparse_backend_matches_dense():
+    x, lw, lh = _sparse_problem(n=30, m=45, r=3, seed=3)
+    st = VBState(ew=jnp.asarray(lw), eh=jnp.asarray(lh),
+                 lw=jnp.asarray(lw), lh=jnp.asarray(lh),
+                 dw=jnp.zeros((30, 3)), dh=jnp.zeros((3, 45)),
+                 lkh=jnp.asarray(-np.inf))
+    hyper = Hyper(*(jnp.asarray(v) for v in (1.0, 1.0, 1.0, 1.0)))
+
+    dense = vb_ops.vb_run(jnp.asarray(x), st, hyper, itmax=50,
+                          hyper_mask=(True,) * 4)
+    sc = sk.from_dense(x, dtype=jnp.float64, chunk=256)
+    ss, dt = sk.make_sparse_backend(chunk=256)
+    sparse = vb_ops.vb_run(sc, st, hyper, itmax=50,
+                           hyper_mask=(True,) * 4,
+                           suffstats=ss, data_term=dt)
+    assert int(dense.n_iter) == int(sparse.n_iter)
+    np.testing.assert_allclose(float(sparse.lml), float(dense.lml),
+                               rtol=1e-9)
+    np.testing.assert_allclose(np.asarray(sparse.state.ew),
+                               np.asarray(dense.state.ew), rtol=1e-7)
+
+
+def test_vb_factorize_sparse_backend():
+    sim = cf.simulate_whx(nrow=25, ncol=40, rank=3, seed=5)
+    s = cf.SCSet(count=sim["x"])
+    a = cf.vb_factorize(s, ranks=3, nrun=2, verbose=0, Itmax=300,
+                        seed=11)
+    b = cf.vb_factorize(s, ranks=3, nrun=2, verbose=0, Itmax=300,
+                        seed=11, backend="sparse")
+    np.testing.assert_allclose(a.measure["lml"], b.measure["lml"],
+                               rtol=1e-8)
+
+
+def test_vb_factorize_pallas_backend():
+    sim = cf.simulate_whx(nrow=25, ncol=40, rank=3, seed=6)
+    s = cf.SCSet(count=sim["x"])
+    a = cf.vb_factorize(s, ranks=3, nrun=2, verbose=0, Itmax=300,
+                        seed=12)
+    b = cf.vb_factorize(s, ranks=3, nrun=2, verbose=0, Itmax=300,
+                        seed=12, backend="pallas")
+    np.testing.assert_allclose(a.measure["lml"], b.measure["lml"],
+                               rtol=1e-8)
