@@ -30,6 +30,7 @@ from ..container import SCSet
 from ..ops import vb as vb_ops
 from ..ops.vb import Hyper, VBState
 from ..ops import consensus as cons
+from ..utils import Timings
 
 
 def _default_dtype():
@@ -72,7 +73,7 @@ def vb_factorize(object, ranks=2, nrun=1, verbose=2,
                  hyper_update_n0=10, hyper_update_dn=1,
                  connectivity=False, fudge=None, unif_stop=True,
                  dtype=None, seed=0, mesh=None, backend="dense",
-                 suffstats=None, data_term=None):
+                 batch_ranks=False, suffstats=None, data_term=None):
     """Bayesian NMF inference of a count matrix.
 
     Parameters mirror the reference (R/bayesian.R:229-236) with
@@ -82,6 +83,11 @@ def vb_factorize(object, ranks=2, nrun=1, verbose=2,
     * ``'dense'``  — XLA GEMM path (default; the parity oracle)
     * ``'pallas'`` — fused single-pass-over-X Pallas kernels
     * ``'sparse'`` — O(nnz*r) COO kernels (no densification)
+
+    ``batch_ranks=True`` runs the ENTIRE rank sweep x restarts as one
+    vmapped batch padded to max(ranks) with per-instance rank masks —
+    one compilation and one device loop instead of len(ranks)
+    sequential ones (requires initializer='random').
 
     ``suffstats``/``data_term`` override the backend kernels directly.
     Returns a new :class:`SCSet` with ranks/basis/dbasis/coeff/dcoeff
@@ -162,13 +168,97 @@ def vb_factorize(object, ranks=2, nrun=1, verbose=2,
     if data_term is not None:
         run_kwargs["data_term"] = data_term
 
+    timings = Timings()
     nrank = len(ranks)
     # per (run, rank) log-evidence; -inf marks missing/degenerate
     rdat = np.full((nrun, nrank), -np.inf)
     results = [[None] * nrank for _ in range(nrun)]
     run_alive = np.ones(nrun, dtype=bool)
 
-    for k, rank in enumerate(ranks):
+    def _record(out, b, i, k, rank):
+        """Record one converged (run, rank) instance; returns False and
+        kills the run on degeneracy (reference R/bayesian.R:368-378)."""
+        ew = np.asarray(out.state.ew[b][:, :rank])
+        eh = np.asarray(out.state.eh[b][:rank, :m])
+        unif_i = (ew.max(axis=0) - ew.min(axis=0)) < float(Tol)
+        nunif_i = int(unif_i.sum())
+        if nunif_i > 0:
+            cols = np.nonzero(unif_i)[0] + 1
+            print(f"Warning: Rank {rank} column "
+                  f"{','.join(map(str, cols))} constant.")
+            if unif_stop:
+                print(f"Warning: Rank scan stopped for rank >= {rank}")
+                if k == 0:
+                    raise ValueError("Rerun with lower ranks")
+                run_alive[i] = False
+                return False
+        lml = float(out.lml[b])
+        rdat[i, k] = lml
+        results[i][k] = dict(
+            ew=ew, eh=eh,
+            dw=np.asarray(out.state.dw[b][:, :rank]),
+            dh=np.asarray(out.state.dh[b][:rank, :m]),
+            hyper=dict(aw=float(out.hyper.aw[b]),
+                       bw=float(out.hyper.bw[b]),
+                       ah=float(out.hyper.ah[b]),
+                       bh=float(out.hyper.bh[b])),
+            n_iter=int(out.n_iter[b]), nunif=nunif_i)
+        if verbose >= 2:
+            msg = (f"Rank = {rank}: Nsteps = {int(out.n_iter[b])}, "
+                   f"log(evidence) = {lml:.6g}, hyper = "
+                   f"({out.hyper.aw[b]:.4g},{out.hyper.bw[b]:.4g},"
+                   f"{out.hyper.ah[b]:.4g},{out.hyper.bh[b]:.4g})")
+            if connectivity:
+                cnn = cons.connectivity(h=eh)
+                disp = cons.dispersion(cnn, m)
+                msg += f", dispersion = {disp:.6g}"
+            print(msg)
+        return True
+
+    if batch_ranks:
+        # one vmapped batch over ALL (rank, run) instances, padded to
+        # max(ranks) with per-instance rank masks
+        if initializer != "random":
+            raise ValueError("batch_ranks requires initializer='random'")
+        rmax_ = max(ranks)
+        nb = nrank * nrun
+        rank_arr = np.repeat(np.asarray(ranks, np.int64), nrun)
+        key, sub = jax.random.split(key)
+        keys = jax.random.split(sub, nb)
+        h1 = Hyper(aw=aw0, bw=bw0, ah=ah0, bh=bh0)
+        states = jax.vmap(
+            lambda kk: vb_ops.vb_init_random(kk, n, m_pad, rmax_, h1,
+                                             dtype))(keys)
+        hyper0 = Hyper(aw=jnp.full((nb,), aw0, dtype),
+                       bw=jnp.full((nb,), bw0, dtype),
+                       ah=jnp.full((nb,), ah0, dtype),
+                       bh=jnp.full((nb,), bh0, dtype))
+        np_dtype = np.dtype(jnp.zeros((), dtype).dtype)
+        rmask = jnp.asarray(
+            (np.arange(rmax_)[None, :] < rank_arr[:, None]
+             ).astype(np_dtype))
+        rtrue = jnp.asarray(rank_arr.astype(np_dtype))
+        xdev = x
+        if mesh is not None:
+            xdev, states, hyper0 = _place_sharded(x, states, hyper0,
+                                                  mesh)
+        batched = jax.vmap(
+            lambda st, hy, rm, rt: vb_ops.vb_run(
+                xdev, st, hy, rank_mask=rm, r_true=rt, **run_kwargs))
+        with timings.phase("vb_rank_batch", ranks=list(ranks),
+                           nrun=nrun):
+            out = batched(states, hyper0, rmask, rtrue)
+            out = jax.tree.map(np.asarray, out)
+        timings.records[-1]["total_sweeps"] = int(out.n_iter.sum())
+        for k, rank in enumerate(ranks):
+            for i in range(nrun):
+                if run_alive[i]:
+                    _record(out, k * nrun + i, i, k, rank)
+        ranks_iter = []
+    else:
+        ranks_iter = list(enumerate(ranks))
+
+    for k, rank in ranks_iter:
         if not run_alive.any():
             break
         hyper0 = Hyper(aw=jnp.full((nrun,), aw0, dtype),
@@ -194,46 +284,14 @@ def vb_factorize(object, ranks=2, nrun=1, verbose=2,
 
         batched = jax.vmap(
             lambda st, hy: vb_ops.vb_run(xdev, st, hy, **run_kwargs))
-        out = batched(states, hyper0)
-        out = jax.tree.map(np.asarray, out)
+        with timings.phase("vb_rank", rank=rank, nrun=nrun):
+            out = batched(states, hyper0)
+            out = jax.tree.map(np.asarray, out)
+        timings.records[-1]["total_sweeps"] = int(out.n_iter.sum())
 
-        ew_all = np.asarray(out.state.ew)          # (nrun, n, r)
-        unif = (ew_all.max(axis=1) - ew_all.min(axis=1)) < float(Tol)
         for i in range(nrun):
-            if not run_alive[i]:
-                continue
-            nunif_i = int(unif[i].sum())
-            degenerate = nunif_i > 0
-            if degenerate:
-                cols = np.nonzero(unif[i])[0] + 1
-                print(f"Warning: Rank {rank} column "
-                      f"{','.join(map(str, cols))} constant.")
-                if unif_stop:
-                    print(f"Warning: Rank scan stopped for rank >= {rank}")
-                    if k == 0:
-                        raise ValueError("Rerun with lower ranks")
-                    run_alive[i] = False
-                    continue
-            lml = float(out.lml[i])
-            rdat[i, k] = lml
-            results[i][k] = dict(
-                ew=out.state.ew[i], eh=out.state.eh[i][:, :m],
-                dw=out.state.dw[i], dh=out.state.dh[i][:, :m],
-                hyper=dict(aw=float(out.hyper.aw[i]),
-                           bw=float(out.hyper.bw[i]),
-                           ah=float(out.hyper.ah[i]),
-                           bh=float(out.hyper.bh[i])),
-                n_iter=int(out.n_iter[i]), nunif=nunif_i)
-            if verbose >= 2:
-                msg = (f"Rank = {rank}: Nsteps = {int(out.n_iter[i])}, "
-                       f"log(evidence) = {lml:.6g}, hyper = "
-                       f"({out.hyper.aw[i]:.4g},{out.hyper.bw[i]:.4g},"
-                       f"{out.hyper.ah[i]:.4g},{out.hyper.bh[i]:.4g})")
-                if connectivity:
-                    cnn = cons.connectivity(h=out.state.eh[i][:, :m])
-                    disp = cons.dispersion(cnn, m)
-                    msg += f", dispersion = {disp:.6g}"
-                print(msg)
+            if run_alive[i]:
+                _record(out, i, i, k, rank)
 
     # best-of-nrun selection per rank (reference R/bayesian.R:268-291)
     ranks2, lmls, basis, dbasis, coeff, dcoeff = [], [], [], [], [], []
@@ -264,5 +322,6 @@ def vb_factorize(object, ranks=2, nrun=1, verbose=2,
     out_obj.measure = pd.DataFrame(dict(
         rank=ranks2, lml=lmls, aw=awd, bw=bwd, ah=ahd, bh=bhd,
         nunif=nunifd))
+    out_obj.metadata["timings"] = timings.summary()
     out_obj.validate()
     return out_obj

@@ -95,7 +95,8 @@ def elbo_data_term(x, lw, lh):
 def vb_sweep(x, state: VBState, hyper: Hyper, fudge, lgx,
              suffstats=suffstats_dense,
              data_term=elbo_data_term,
-             cell_mask=None, m_true=None) -> VBState:
+             cell_mask=None, m_true=None,
+             rank_mask=None, r_true=None) -> VBState:
     """One CAVI sweep; exact math of reference src/vbnmf_update.cpp:33-90.
 
     ``lgx`` is the precomputed constant  sum_ij lgamma(x_ij + 1).
@@ -104,14 +105,22 @@ def vb_sweep(x, state: VBState, hyper: Hyper, fudge, lgx,
     boundaries (padding contributes nothing), so the true (n, m) come
     from the state shapes.
 
-    For mesh sharding, the cell axis may be zero-padded to the device
-    count: ``cell_mask`` is a (m_pad,) 0/1 vector marking real cells
-    and ``m_true`` the true cell count.  Masked padding contributes
-    exactly nothing: eh/dh are zeroed, lh pinned at ``fudge`` (keeping
-    W*H positive), and the U3 ELBO terms mask-summed.
+    Two optional maskings make padding contribute exactly nothing:
+
+    * cell padding (mesh sharding): ``cell_mask`` is a (m_pad,) 0/1
+      vector marking real cells, ``m_true`` the true cell count —
+      eh/dh are zeroed, lh pinned at ``fudge`` (keeping W*H positive),
+      and the U3 ELBO terms mask-summed.
+    * rank padding (batched rank sweeps): ``rank_mask`` is a (r_pad,)
+      0/1 vector marking real components, ``r_true`` the (possibly
+      traced, per-batch-instance) true rank — ew/eh are zeroed, lw/lh
+      pinned at ``fudge`` so padded components add only
+      fudge^2 ~ 1e-14 to W*H (below f32 resolution), and U2/U3 are
+      mask-summed with r_true in the prior constants.
     """
     n, r = state.lw.shape
     m = m_true if m_true is not None else state.lh.shape[1]
+    r_eff = r_true if r_true is not None else r
     aw, bw, ah, bh = hyper
 
     sw, sh = suffstats(x, state.lw, state.lh)
@@ -127,6 +136,15 @@ def vb_sweep(x, state: VBState, hyper: Hyper, fudge, lgx,
     lh = jnp.maximum(jnp.exp(digamma(alh)) * beh, fudge)
     dw = alw * bew ** 2
     dh = alh * beh ** 2
+    if rank_mask is not None:
+        mw = rank_mask[None, :]
+        mh = rank_mask[:, None]
+        ew = ew * mw
+        dw = dw * mw
+        eh = eh * mh
+        dh = dh * mh
+        lw = jnp.where(mw > 0, lw, fudge)
+        lh = jnp.where(mh > 0, lh, fudge)
     if cell_mask is not None:
         eh = eh * cell_mask
         dh = dh * cell_mask
@@ -135,15 +153,20 @@ def vb_sweep(x, state: VBState, hyper: Hyper, fudge, lgx,
     # ELBO: U1 data part; the -sum(ew@eh) term reduces in rank space.
     u1 = (-jnp.dot(jnp.sum(ew, axis=0), jnp.sum(eh, axis=1)) - lgx
           + data_term(x, lw, lh))
-    u2 = (jnp.sum(-(aw / bw) * ew + alw * (1.0 + jnp.log(bew))
-                  + gammaln(alw))
-          + n * r * (aw * jnp.log(aw / bw) - gammaln(aw)))
+    u2_elem = (-(aw / bw) * ew + alw * (1.0 + jnp.log(bew))
+               + gammaln(alw))
+    if rank_mask is not None:
+        u2_elem = u2_elem * rank_mask[None, :]
+    u2 = (jnp.sum(u2_elem)
+          + n * r_eff * (aw * jnp.log(aw / bw) - gammaln(aw)))
     u3_elem = (-(ah / bh) * eh + alh * (1.0 + jnp.log(beh))
                + gammaln(alh))
+    if rank_mask is not None:
+        u3_elem = u3_elem * rank_mask[:, None]
     if cell_mask is not None:
         u3_elem = u3_elem * cell_mask
     u3 = (jnp.sum(u3_elem)
-          + r * m * (ah * jnp.log(ah / bh) - gammaln(ah)))
+          + r_eff * m * (ah * jnp.log(ah / bh) - gammaln(ah)))
     lkh = (u1 + u2 + u3) / (n * m)
 
     return VBState(ew=ew, eh=eh, lw=lw, lh=lh, dw=dw, dh=dh, lkh=lkh)
@@ -154,8 +177,8 @@ def vb_sweep(x, state: VBState, hyper: Hyper, fudge, lgx,
 # ---------------------------------------------------------------------
 
 def hyper_update(mask, state: VBState, hyper: Hyper, niter: int = 100,
-                 tol: float = 1e-4, cell_mask=None,
-                 m_true=None) -> tuple[Hyper, jax.Array]:
+                 tol: float = 1e-4, cell_mask=None, m_true=None,
+                 rank_mask=None, r_true=None) -> tuple[Hyper, jax.Array]:
     """Damped-Newton update of gamma shapes + closed-form means.
 
     ``mask`` is a static 4-tuple of bools for (aw, bw, ah, bh).
@@ -172,19 +195,39 @@ def hyper_update(mask, state: VBState, hyper: Hyper, niter: int = 100,
     if not any(mask):
         return hyper, jnp.asarray(False)
 
-    r = state.lh.shape[0]
-    lwm = jnp.mean(jnp.log(state.lw))
-    ewm = jnp.mean(state.ew)
-    if cell_mask is None:
+    n = state.lw.shape[0]
+    r_pad, m_pad = state.lh.shape
+    m_eff = m_true if m_true is not None else m_pad
+    r_eff = r_true if r_true is not None else r_pad
+
+    if cell_mask is None and rank_mask is None:
+        lwm = jnp.mean(jnp.log(state.lw))
+        ewm = jnp.mean(state.ew)
         lhm = jnp.mean(jnp.log(state.lh))
         ehm = jnp.mean(state.eh)
     else:
-        denom = r * m_true
-        lhm = jnp.sum(jnp.log(state.lh) * cell_mask) / denom
-        ehm = jnp.sum(state.eh) / denom   # eh already masked to 0
+        mask_w = (rank_mask[None, :] if rank_mask is not None
+                  else jnp.ones((1, 1), state.lw.dtype))
+        mask_h = jnp.ones((1, 1), state.lh.dtype)
+        if rank_mask is not None:
+            mask_h = mask_h * rank_mask[:, None]
+        if cell_mask is not None:
+            mask_h = mask_h * cell_mask
+        denom_w = n * r_eff
+        denom_h = r_eff * m_eff
+        logw = jnp.where(mask_w > 0, jnp.log(state.lw), 0.0)
+        logh = jnp.where(mask_h > 0, jnp.log(state.lh), 0.0)
+        lwm = jnp.sum(logw * mask_w) / denom_w if rank_mask is not None \
+            else jnp.sum(logw) / denom_w
+        ewm = jnp.sum(state.ew) / denom_w    # ew masked to 0 in padding
+        lhm = jnp.sum(logh * mask_h) / denom_h
+        ehm = jnp.sum(state.eh) / denom_h    # eh masked to 0 in padding
     aw0, bw0, ah0, bh0 = hyper
 
     if mask[0] or mask[2]:
+        # Fixed-trip-count masked Newton (scalar work; fori_loops with
+        # done-masking instead of nested while_loops keep vb_run's
+        # compiled control flow shallow).
         def newton_step(a0, mean_e, mean_l, b0, enabled):
             if not enabled:
                 return jnp.zeros_like(a0)
@@ -193,25 +236,14 @@ def hyper_update(mask, state: VBState, hyper: Hyper, niter: int = 100,
                     / (1.0 / a0 - polygamma(1, a0)))
 
         def positive_step(a0, d):
-            # halve d until a0 - d > 0 (bounded; reference uses a
-            # while loop, R/bayesian.R:28-35)
-            def cond(c):
-                d_, = c
-                return a0 - d_ <= 0
+            # halve d until a0 - d > 0 (reference while loop,
+            # R/bayesian.R:28-35), as an unrolled scan of selects
+            def halve(_, d_):
+                return jnp.where(a0 - d_ <= 0, d_ / 2.0, d_)
+            return lax.fori_loop(0, 64, halve, d, unroll=True)
 
-            def body(c):
-                d_, = c
-                return (d_ / 2.0,)
-
-            (d,) = lax.while_loop(cond, body, (d,))
-            return d
-
-        def loop_cond(carry):
-            i, aw0, ah0, done = carry
-            return (~done) & (i < niter)
-
-        def loop_body(carry):
-            i, aw0, ah0, _ = carry
+        def loop_body(_, carry):
+            aw0, ah0, done = carry
             dw = newton_step(aw0, ewm, lwm, bw0, mask[0])
             dh = newton_step(ah0, ehm, lhm, bh0, mask[2])
             dw = positive_step(aw0, dw)
@@ -219,11 +251,13 @@ def hyper_update(mask, state: VBState, hyper: Hyper, niter: int = 100,
             aw1 = aw0 - dw
             ah1 = ah0 - dh
             df = (1.0 - aw1 / aw0) ** 2 + (1.0 - ah1 / ah0) ** 2
-            return i + 1, aw1, ah1, df < tol
+            new_done = done | (df < tol)
+            aw1 = jnp.where(done, aw0, aw1)
+            ah1 = jnp.where(done, ah0, ah1)
+            return aw1, ah1, new_done
 
-        one = jnp.asarray(1)
-        i, aw1, ah1, done = lax.while_loop(
-            loop_cond, loop_body, (one, aw0, ah0, jnp.asarray(False)))
+        aw1, ah1, done = lax.fori_loop(
+            0, niter - 1, loop_body, (aw0, ah0, jnp.asarray(False)))
         failed = ~done
     else:
         aw1, ah1 = aw0, ah0
@@ -338,7 +372,8 @@ def vb_run(x, state0: VBState, hyper0: Hyper, *, itmax: int = 10000,
            n0: int = 10, dn: int = 1,
            suffstats=suffstats_dense,
            data_term=elbo_data_term,
-           cell_mask=None, m_true=None) -> VBRunResult:
+           cell_mask=None, m_true=None,
+           rank_mask=None, r_true=None) -> VBRunResult:
     """Iterate vb_sweep to convergence for a single restart.
 
     Stopping mirrors the reference (R/bayesian.R:345-348): after the
@@ -363,6 +398,15 @@ def vb_run(x, state0: VBState, hyper0: Hyper, *, itmax: int = 10000,
     fudge = jnp.asarray(fudge, xval.dtype)
     lgx = jnp.sum(gammaln(xval + 1.0))
     tol = jnp.asarray(tol, xval.dtype)
+    if rank_mask is not None:
+        # zero out padded rank components in the initial state
+        mw = rank_mask[None, :]
+        mh = rank_mask[:, None]
+        state0 = state0._replace(
+            ew=state0.ew * mw, dw=state0.dw * mw,
+            lw=jnp.where(mw > 0, state0.lw, fudge),
+            eh=state0.eh * mh, dh=state0.dh * mh,
+            lh=jnp.where(mh > 0, state0.lh, fudge))
     if cell_mask is not None:
         # zero out padded cells in the initial state
         state0 = state0._replace(
@@ -377,17 +421,16 @@ def vb_run(x, state0: VBState, hyper0: Hyper, *, itmax: int = 10000,
         it, state, hyper, lk0, done, hfail = carry
         state = vb_sweep(x, state, hyper, fudge, lgx,
                          suffstats=suffstats, data_term=data_term,
-                         cell_mask=cell_mask, m_true=m_true)
+                         cell_mask=cell_mask, m_true=m_true,
+                         rank_mask=rank_mask, r_true=r_true)
         do_hyper = (it > n0) & (it % dn == 0)
-
-        def upd(h):
-            return hyper_update(hyper_mask, state, h,
-                                cell_mask=cell_mask, m_true=m_true)
-
-        def keep(h):
-            return h, jnp.asarray(False)
-
-        hyper, failed = lax.cond(do_hyper, upd, keep, hyper)
+        # compute the (cheap, scalar) empirical-Bayes update every
+        # sweep and mask-select — avoids a cond wrapping nested loops
+        new_hyper, failed = hyper_update(
+            hyper_mask, state, hyper, cell_mask=cell_mask,
+            m_true=m_true, rank_mask=rank_mask, r_true=r_true)
+        hyper = Hyper(*(jnp.where(do_hyper, new, old)
+                        for new, old in zip(new_hyper, hyper)))
         hfail = hfail | (do_hyper & failed)
 
         lkh = state.lkh

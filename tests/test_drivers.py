@@ -90,3 +90,40 @@ def test_vb_reproducible_with_seed():
     b = cf.vb_factorize(s, ranks=2, nrun=2, verbose=0, Itmax=200, seed=7)
     np.testing.assert_allclose(a.basis[0], b.basis[0])
     np.testing.assert_allclose(a.measure["lml"], b.measure["lml"])
+
+
+def test_batch_ranks_single_rank_matches_sequential():
+    """With one rank == rmax, the batched path draws identical inits
+    and must match the sequential path exactly."""
+    sim = cf.simulate_whx(nrow=25, ncol=30, rank=3, seed=41)
+    s = cf.SCSet(count=sim["x"])
+    a = cf.vb_factorize(s, ranks=3, nrun=2, verbose=0, Itmax=300,
+                        seed=17)
+    b = cf.vb_factorize(s, ranks=3, nrun=2, verbose=0, Itmax=300,
+                        seed=17, batch_ranks=True)
+    np.testing.assert_allclose(a.measure["lml"], b.measure["lml"],
+                               rtol=1e-12)
+    np.testing.assert_allclose(a.basis[0], b.basis[0], rtol=1e-10)
+
+
+def test_batch_ranks_sweep_recovers_planted_rank():
+    sim = cf.simulate_whx(nrow=60, ncol=120, rank=5, aw=0.5, bw=1.0,
+                          ah=0.5, bh=1.0, seed=1)
+    s = cf.SCSet(count=sim["x"])
+    f = cf.vb_factorize(s, ranks=list(range(2, 9)), nrun=3, verbose=0,
+                        Itmax=2000, seed=3, batch_ranks=True)
+    # over-specified ranks may collapse (uniform column) and drop out
+    # of the scan, mirroring the reference's unif.stop behavior
+    assert f.ranks[:4] == [2, 3, 4, 5]
+    assert f.basis[0].shape[1] == 2          # sliced to true rank
+    assert f.coeff[-1].shape[0] == f.ranks[-1]
+    opt = cf.optimal_rank(f)
+    assert opt["ropt"] in (4, 5, 6), f"got {opt}"
+
+
+def test_batch_ranks_rejects_svd_init():
+    sim = cf.simulate_whx(nrow=20, ncol=25, rank=2, seed=42)
+    s = cf.SCSet(count=sim["x"])
+    with pytest.raises(ValueError, match="batch_ranks"):
+        cf.vb_factorize(s, ranks=2, initializer="svd2",
+                        batch_ranks=True)
