@@ -44,6 +44,41 @@ def _as_counts_matrix(obj, dtype):
     return mat
 
 
+def _rank_ckpt_path(ckpt_dir, rank):
+    import os
+    return os.path.join(ckpt_dir, f"vb_rank{rank}.npz")
+
+
+def _save_rank_ckpt(ckpt_dir, rank, rdat_col, imax, res):
+    """Persist one completed rank: all runs' log evidences + the best
+    run's factors/hyper (sweep-resume support; the reference has no
+    checkpoint mechanism, SURVEY.md §5)."""
+    import os
+    os.makedirs(ckpt_dir, exist_ok=True)
+    np.savez_compressed(
+        _rank_ckpt_path(ckpt_dir, rank), rdat=rdat_col, imax=imax,
+        ew=res["ew"], eh=res["eh"], dw=res["dw"], dh=res["dh"],
+        hyper=np.asarray([res["hyper"][k] for k in
+                          ("aw", "bw", "ah", "bh")]),
+        n_iter=res["n_iter"], nunif=res["nunif"])
+
+
+def _load_rank_ckpt(ckpt_dir, rank):
+    import os
+    if ckpt_dir is None:
+        return None
+    path = _rank_ckpt_path(ckpt_dir, rank)
+    if not os.path.exists(path):
+        return None
+    d = np.load(path)
+    hy = d["hyper"]
+    res = dict(ew=d["ew"], eh=d["eh"], dw=d["dw"], dh=d["dh"],
+               hyper=dict(aw=float(hy[0]), bw=float(hy[1]),
+                          ah=float(hy[2]), bh=float(hy[3])),
+               n_iter=int(d["n_iter"]), nunif=int(d["nunif"]))
+    return d["rdat"], int(d["imax"]), res
+
+
 def _place_sharded(x, states, hypers, mesh):
     """Lay out the batched problem on a device mesh: X cell-sharded,
     H-family cell-sharded, W-family replicated, restarts over 'runs'."""
@@ -73,7 +108,8 @@ def vb_factorize(object, ranks=2, nrun=1, verbose=2,
                  hyper_update_n0=10, hyper_update_dn=1,
                  connectivity=False, fudge=None, unif_stop=True,
                  dtype=None, seed=0, mesh=None, backend="dense",
-                 batch_ranks=False, suffstats=None, data_term=None):
+                 batch_ranks=False, checkpoint_dir=None,
+                 suffstats=None, data_term=None):
     """Bayesian NMF inference of a count matrix.
 
     Parameters mirror the reference (R/bayesian.R:229-236) with
@@ -261,12 +297,21 @@ def vb_factorize(object, ranks=2, nrun=1, verbose=2,
     for k, rank in ranks_iter:
         if not run_alive.any():
             break
+        # keep the key stream identical whether or not ranks restore
+        key, sub = jax.random.split(key)
+        ckpt = _load_rank_ckpt(checkpoint_dir, rank)
+        if ckpt is not None and len(ckpt[0]) == nrun:
+            rdat_col, imax, res = ckpt
+            rdat[:, k] = rdat_col
+            results[imax][k] = res
+            if verbose >= 1:
+                print(f"Rank = {rank}: restored from checkpoint")
+            continue
         hyper0 = Hyper(aw=jnp.full((nrun,), aw0, dtype),
                        bw=jnp.full((nrun,), bw0, dtype),
                        ah=jnp.full((nrun,), ah0, dtype),
                        bh=jnp.full((nrun,), bh0, dtype))
         if initializer == "random":
-            key, sub = jax.random.split(key)
             keys = jax.random.split(sub, nrun)
             h1 = Hyper(aw=aw0, bw=bw0, ah=ah0, bh=bh0)
             states = jax.vmap(
@@ -292,6 +337,11 @@ def vb_factorize(object, ranks=2, nrun=1, verbose=2,
         for i in range(nrun):
             if run_alive[i]:
                 _record(out, i, i, k, rank)
+
+        if checkpoint_dir is not None and np.isfinite(rdat[:, k]).any():
+            imax = int(np.argmax(rdat[:, k]))
+            _save_rank_ckpt(checkpoint_dir, rank, rdat[:, k], imax,
+                            results[imax][k])
 
     # best-of-nrun selection per rank (reference R/bayesian.R:268-291)
     ranks2, lmls, basis, dbasis, coeff, dcoeff = [], [], [], [], [], []

@@ -127,3 +127,34 @@ def test_batch_ranks_rejects_svd_init():
     with pytest.raises(ValueError, match="batch_ranks"):
         cf.vb_factorize(s, ranks=2, initializer="svd2",
                         batch_ranks=True)
+
+
+def test_checkpoint_resume(tmp_path):
+    sim = cf.simulate_whx(nrow=20, ncol=25, rank=2, seed=51)
+    s = cf.SCSet(count=sim["x"])
+    ck = str(tmp_path / "ck")
+    a = cf.vb_factorize(s, ranks=[2, 3], nrun=2, verbose=0, Itmax=200,
+                        seed=3, checkpoint_dir=ck)
+    # resume: both ranks restore from checkpoint, results identical
+    b = cf.vb_factorize(s, ranks=[2, 3], nrun=2, verbose=0, Itmax=200,
+                        seed=3, checkpoint_dir=ck)
+    np.testing.assert_allclose(a.measure["lml"], b.measure["lml"])
+    np.testing.assert_allclose(a.basis[0], b.basis[0])
+    # partial resume: rank 2 restored, rank 4 computed fresh
+    c = cf.vb_factorize(s, ranks=[2, 4], nrun=2, verbose=0, Itmax=200,
+                        seed=3, checkpoint_dir=ck)
+    np.testing.assert_allclose(c.measure["lml"].iloc[0],
+                               a.measure["lml"].iloc[0])
+
+
+def test_schedule_partition():
+    from ccfindr_tpu.parallel import (partition_items, rank_run_grid,
+                                      gather_results)
+    grid = rank_run_grid([2, 3, 4], 5)
+    assert len(grid) == 15
+    seen = np.concatenate([partition_items(15, 4, p) for p in range(4)])
+    assert sorted(seen.tolist()) == list(range(15))
+    vals = np.arange(15, dtype=float)
+    mine = partition_items(15, 4, 1)
+    out = gather_results(vals[mine], mine, 15)
+    np.testing.assert_allclose(out[mine], vals[mine])
