@@ -16,8 +16,13 @@ import time
 import numpy as np
 
 
-def bench_tpu(n=4096, m=8192, r=16, iters=30, dtype=None,
-              backend="pallas"):
+def bench_tpu(n=4096, m=8192, r=16, dtype=None, backend="pallas_fused"):
+    """Device-side sweeps/sec: time k1- and k2-sweep device loops and
+    difference them, cancelling the fixed per-dispatch cost (the
+    tunneled TPU here adds ~25 ms per call, which at small k would
+    dominate and UNDER-report the chip's true sweep rate)."""
+    import functools
+
     import jax
     import jax.numpy as jnp
     from ccfindr_tpu.ops import vb as vb_ops
@@ -36,27 +41,47 @@ def bench_tpu(n=4096, m=8192, r=16, iters=30, dtype=None,
     fudge = jnp.asarray(np.finfo(np.float32).eps, dtype)
     lgx = jnp.sum(jax.scipy.special.gammaln(x + 1.0))
 
-    kw = {}
-    if backend == "pallas":
-        from ccfindr_tpu.ops.pallas import make_pallas_backend, pad_matrix
-        ss, dt_ = make_pallas_backend()
-        kw = dict(suffstats=ss, data_term=dt_)
+    if backend == "pallas_fused":
+        # the production path: one pass over X per sweep
+        from ccfindr_tpu.ops.pallas import make_fused_backend, pad_matrix
+        fused = make_fused_backend()
         x = pad_matrix(x)
 
-    @jax.jit
-    def sweep_k(state, k):
-        def body(i, st):
-            return vb_ops.vb_sweep(x, st, hyper, fudge, lgx, **kw)
-        return jax.lax.fori_loop(0, k, body, state)
+        def body(st):
+            swn, shn, dterm = fused(x, st.lw, st.lh)
+            new, pending = vb_ops.posterior_update(
+                st.lw * swn, st.lh * shn, st, hyper, fudge, lgx)
+            return new._replace(lkh=(pending + dterm) / (n * m))
+    else:
+        kw = {}
+        if backend == "pallas":
+            from ccfindr_tpu.ops.pallas import (make_pallas_backend,
+                                                pad_matrix)
+            ss, dt_ = make_pallas_backend()
+            kw = dict(suffstats=ss, data_term=dt_)
+            x = pad_matrix(x)
 
-    # warmup/compile
-    out = sweep_k(state, 2)
-    jax.block_until_ready(out)
-    t0 = time.perf_counter()
-    out = sweep_k(state, iters)
-    jax.block_until_ready(out)
-    dt = time.perf_counter() - t0
-    return iters / dt
+        def body(st):
+            return vb_ops.vb_sweep(x, st, hyper, fudge, lgx, **kw)
+
+    @functools.partial(jax.jit, static_argnames=("k",))
+    def sweep_k(state, k):
+        return jax.lax.fori_loop(0, k, lambda i, st: body(st), state)
+
+    def timed(k):
+        out = sweep_k(state, k)          # compile + warm
+        jax.block_until_ready(out)
+        best = float("inf")
+        for _ in range(3):
+            t0 = time.perf_counter()
+            out = sweep_k(state, k)
+            jax.block_until_ready(out)
+            best = min(best, time.perf_counter() - t0)
+        return best
+
+    k1, k2 = 64, 576
+    t1, t2 = timed(k1), timed(k2)
+    return (k2 - k1) / (t2 - t1)
 
 
 def bench_cpu_reference(n=4096, m=8192, r=16, iters=3):

@@ -116,9 +116,13 @@ def vb_factorize(object, ranks=2, nrun=1, verbose=2,
     TPU-era replacements: ``ncores``/``useC`` are superseded by
     ``mesh`` (device mesh for runs x cells sharding) and ``backend``:
 
-    * ``'dense'``  — XLA GEMM path (default; the parity oracle)
-    * ``'pallas'`` — fused single-pass-over-X Pallas kernels
-    * ``'sparse'`` — O(nnz*r) COO kernels (no densification)
+    * ``'dense'``       — XLA GEMM path (default; the parity oracle)
+    * ``'dense_fused'`` — XLA path, one pass over X per sweep
+      (deferred-ELBO loop, ops.vb.vb_run(fused=...))
+    * ``'pallas'``      — fused single-pass-over-X Pallas kernel
+      (suffstats + ELBO data term share wth; 5 GEMMs, one X read)
+    * ``'pallas2pass'`` — separate Pallas suffstats/ELBO kernels
+    * ``'sparse'``      — O(nnz*r) COO kernels (no densification)
 
     ``batch_ranks=True`` runs the ENTIRE rank sweep x restarts as one
     vmapped batch padded to max(ranks) with per-instance rank masks —
@@ -180,7 +184,14 @@ def vb_factorize(object, ranks=2, nrun=1, verbose=2,
 
     if backend == "dense":
         x = jnp.asarray(mat, dtype)
+    elif backend == "dense_fused":
+        x = jnp.asarray(mat, dtype)
+        run_kwargs["fused"] = vb_ops.fused_dense
     elif backend == "pallas":
+        from ..ops import pallas as pk
+        x = pk.pad_matrix(jnp.asarray(mat, dtype))
+        run_kwargs["fused"] = pk.make_fused_backend()
+    elif backend == "pallas2pass":
         from ..ops import pallas as pk
         x = pk.pad_matrix(jnp.asarray(mat, dtype))
         ss, dt = pk.make_pallas_backend()

@@ -217,6 +217,126 @@ def elbo_data_pallas(x, lw, lh, bn: int = DEFAULT_BN,
                                    bn=bn, bm=bm)
 
 
+# ---------------------------------------------------------------------
+# Fused single-pass kernel: suffstats + ELBO data term
+# ---------------------------------------------------------------------
+
+def _fused_kernel(x_ref, lw_ref, lwl_ref, lh_ref, lhl_ref,
+                  swn_ref, shn_ref, acc_ref, *, bn):
+    """One pass over an X tile: five GEMMs sharing wth and x/wth.
+
+    Grid is (nj, ni) with the GENE tile i innermost: shn's output
+    block (0, j) is revisited consecutively across i and accumulates
+    in VMEM; swn is a full-array output block (constant index), also
+    VMEM-resident, with rows accumulated via dynamic slices; the
+    scalar ELBO term accumulates in SMEM.  lw/lwl stay fully resident
+    (n x r_pad, a few MB for n <= ~50k genes).
+    """
+    j = pl.program_id(0)
+    i = pl.program_id(1)
+    acc_t = jnp.promote_types(x_ref.dtype, jnp.float32)
+    lw = lw_ref[pl.ds(i * bn, bn), :]
+    lwl = lwl_ref[pl.ds(i * bn, bn), :]
+    lh = lh_ref[...]
+    lhl = lhl_ref[...]
+    x = x_ref[...]
+    wth = jnp.dot(lw, lh, preferred_element_type=acc_t)
+    a = (x / wth).astype(lw.dtype)
+
+    @pl.when((i == 0) & (j == 0))
+    def _():
+        swn_ref[...] = jnp.zeros_like(swn_ref)
+        acc_ref[0, 0] = jnp.zeros((), acc_ref.dtype)
+
+    @pl.when(i == 0)
+    def _():
+        shn_ref[...] = jnp.zeros_like(shn_ref)
+
+    swn_ref[pl.ds(i * bn, bn), :] += jnp.dot(
+        a, lh.T, preferred_element_type=acc_t).astype(swn_ref.dtype)
+    shn_ref[...] += jnp.dot(lw.T, a, preferred_element_type=acc_t
+                            ).astype(shn_ref.dtype)
+    s = (jnp.dot(lwl, lh, preferred_element_type=acc_t)
+         + jnp.dot(lw, lhl, preferred_element_type=acc_t))
+    t = x * (s / wth - jnp.log(wth))
+    acc_ref[0, 0] += -jnp.sum(t).astype(acc_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("n", "m", "r", "bn", "bm"))
+def fused_pallas_padded(x_pad, lw, lh, *, n, m, r, bn, bm):
+    np_, mp_ = x_pad.shape
+    rp_ = _round_up(max(r, 8), 128)
+    lw_p, lh_p = _pad_factors(lw, lh, np_, mp_, rp_)
+    # padded factor entries are 0 or 1 -> define l*log(l) = 0 there
+    lwl = jnp.where(lw_p > 0, lw_p * jnp.log(
+        jnp.where(lw_p > 0, lw_p, 1.0)), 0.0).astype(lw_p.dtype)
+    lhl = jnp.where(lh_p > 0, lh_p * jnp.log(
+        jnp.where(lh_p > 0, lh_p, 1.0)), 0.0).astype(lh_p.dtype)
+    ni, nj = np_ // bn, mp_ // bm
+    acc_t = jnp.promote_types(x_pad.dtype, jnp.float32)
+
+    swn, shn, acc = pl.pallas_call(
+        functools.partial(_fused_kernel, bn=bn),
+        grid=(nj, ni),
+        in_specs=[
+            pl.BlockSpec((bn, bm), lambda j, i: (i, j),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((np_, rp_), lambda j, i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((np_, rp_), lambda j, i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((rp_, bm), lambda j, i: (0, j),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((rp_, bm), lambda j, i: (0, j),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((np_, rp_), lambda j, i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((rp_, bm), lambda j, i: (0, j),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1), lambda j, i: (0, 0),
+                         memory_space=pltpu.SMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((np_, rp_), acc_t),
+            jax.ShapeDtypeStruct((rp_, mp_), acc_t),
+            jax.ShapeDtypeStruct((1, 1), acc_t),
+        ],
+        cost_estimate=pl.CostEstimate(
+            flops=2 * 5 * np_ * mp_ * rp_,
+            bytes_accessed=np_ * mp_ * x_pad.dtype.itemsize,
+            transcendentals=np_ * mp_,
+        ),
+        interpret=_interpret(),
+    )(x_pad, lw_p, lwl, lh_p, lhl)
+
+    return (swn[:n, :r].astype(lw.dtype),
+            shn[:r, :m].astype(lh.dtype),
+            acc[0, 0].astype(lw.dtype))
+
+
+def fused_pallas(x, lw, lh, bn: int = DEFAULT_BN, bm: int = DEFAULT_BM):
+    """Single-pass fused backend for ops.vb.vb_run(fused=...): returns
+    (swn, shn, dterm) — suffstat numerators (sw = lw*swn, sh = lh*shn)
+    plus the ELBO data term for the SAME (lw, lh), reading X once."""
+    n, r = lw.shape
+    m = lh.shape[1]
+    x_pad = pad_matrix(x, bn, bm)
+    return fused_pallas_padded(x_pad, lw, lh, n=n, m=m, r=r,
+                               bn=bn, bm=bm)
+
+
+def make_fused_backend(bn: int = DEFAULT_BN, bm: int = DEFAULT_BM):
+    """Fused kernel for vb_run/vb_factorize's single-pass path.
+    Pre-pad X with :func:`pad_matrix` (same bn/bm) to avoid a
+    per-sweep pad."""
+    def fused(x, lw, lh):
+        return fused_pallas(x, lw, lh, bn=bn, bm=bm)
+
+    return fused
+
+
 def make_pallas_backend(bn: int = DEFAULT_BN, bm: int = DEFAULT_BM):
     """(suffstats, data_term) pair for vb_factorize(suffstats=...,
     data_term=...).  Pre-pad X with :func:`pad_matrix` (same bn/bm) to

@@ -92,20 +92,20 @@ def elbo_data_term(x, lw, lh):
     return -jnp.sum(x * (s / wth - jnp.log(wth)))
 
 
-def vb_sweep(x, state: VBState, hyper: Hyper, fudge, lgx,
-             suffstats=suffstats_dense,
-             data_term=elbo_data_term,
-             cell_mask=None, m_true=None,
-             rank_mask=None, r_true=None) -> VBState:
-    """One CAVI sweep; exact math of reference src/vbnmf_update.cpp:33-90.
+def posterior_update(sw, sh, state: VBState, hyper: Hyper, fudge, lgx,
+                     cell_mask=None, m_true=None,
+                     rank_mask=None, r_true=None):
+    """Gamma-posterior update from sufficient statistics + the ELBO
+    terms that do NOT require another pass over X.
 
-    ``lgx`` is the precomputed constant  sum_ij lgamma(x_ij + 1).
-    ``suffstats`` / ``data_term`` are injection points for the Pallas /
-    sparse kernels; with those backends ``x`` may be zero-padded to tile
-    boundaries (padding contributes nothing), so the true (n, m) come
-    from the state shapes.
+    Returns ``(new_state, pending)`` where ``pending`` is the partial
+    (unnormalized) ELBO  -sum(ew@eh) - lgx + U2 + U3;  the full ELBO is
+    ``(pending + data_term(x, new.lw, new.lh)) / (n*m)``.  Splitting
+    here lets :func:`vb_run`'s fused path evaluate the data term of
+    sweep t inside sweep t+1's single pass over X (both use the same
+    lw/lh).  ``new_state.lkh`` is carried over unchanged.
 
-    Two optional maskings make padding contribute exactly nothing:
+    Masking semantics (padding contributes exactly nothing):
 
     * cell padding (mesh sharding): ``cell_mask`` is a (m_pad,) 0/1
       vector marking real cells, ``m_true`` the true cell count —
@@ -122,8 +122,6 @@ def vb_sweep(x, state: VBState, hyper: Hyper, fudge, lgx,
     m = m_true if m_true is not None else state.lh.shape[1]
     r_eff = r_true if r_true is not None else r
     aw, bw, ah, bh = hyper
-
-    sw, sh = suffstats(x, state.lw, state.lh)
 
     alw = aw + sw
     bew = 1.0 / (aw / bw + jnp.sum(state.eh, axis=1)[None, :])
@@ -151,8 +149,7 @@ def vb_sweep(x, state: VBState, hyper: Hyper, fudge, lgx,
         lh = jnp.where(cell_mask > 0, lh, fudge)
 
     # ELBO: U1 data part; the -sum(ew@eh) term reduces in rank space.
-    u1 = (-jnp.dot(jnp.sum(ew, axis=0), jnp.sum(eh, axis=1)) - lgx
-          + data_term(x, lw, lh))
+    u1_part = -jnp.dot(jnp.sum(ew, axis=0), jnp.sum(eh, axis=1)) - lgx
     u2_elem = (-(aw / bw) * ew + alw * (1.0 + jnp.log(bew))
                + gammaln(alw))
     if rank_mask is not None:
@@ -167,9 +164,53 @@ def vb_sweep(x, state: VBState, hyper: Hyper, fudge, lgx,
         u3_elem = u3_elem * cell_mask
     u3 = (jnp.sum(u3_elem)
           + r_eff * m * (ah * jnp.log(ah / bh) - gammaln(ah)))
-    lkh = (u1 + u2 + u3) / (n * m)
+    pending = u1_part + u2 + u3
 
-    return VBState(ew=ew, eh=eh, lw=lw, lh=lh, dw=dw, dh=dh, lkh=lkh)
+    return (VBState(ew=ew, eh=eh, lw=lw, lh=lh, dw=dw, dh=dh,
+                    lkh=state.lkh), pending)
+
+
+def fused_dense(x, lw, lh):
+    """Single-pass fused backend (XLA): suffstat numerators + ELBO data
+    term for the same (lw, lh), sharing wth = lw@lh and x/wth.
+
+    Returns (swn, shn, dterm) with sw = lw*swn, sh = lh*shn,
+    dterm = -sum x*(S/wth - log wth).  See vb_run(fused=...).
+    """
+    acc = jnp.promote_types(x.dtype, jnp.float32)
+    dot = partial(lax.dot, precision=lax.Precision.HIGHEST,
+                  preferred_element_type=acc)
+    wth = dot(lw, lh)
+    a = x / wth
+    swn = dot(a, lh.T)
+    shn = dot(lw.T, a)
+    s = dot(lw * jnp.log(lw), lh) + dot(lw, lh * jnp.log(lh))
+    dterm = -jnp.sum(x * (s / wth - jnp.log(wth)))
+    return swn, shn, dterm
+
+
+def vb_sweep(x, state: VBState, hyper: Hyper, fudge, lgx,
+             suffstats=suffstats_dense,
+             data_term=elbo_data_term,
+             cell_mask=None, m_true=None,
+             rank_mask=None, r_true=None) -> VBState:
+    """One CAVI sweep; exact math of reference src/vbnmf_update.cpp:33-90.
+
+    ``lgx`` is the precomputed constant  sum_ij lgamma(x_ij + 1).
+    ``suffstats`` / ``data_term`` are injection points for the Pallas /
+    sparse kernels; with those backends ``x`` may be zero-padded to tile
+    boundaries (padding contributes nothing), so the true (n, m) come
+    from the state shapes.  Masking semantics: see
+    :func:`posterior_update`.
+    """
+    n, _ = state.lw.shape
+    m = m_true if m_true is not None else state.lh.shape[1]
+    sw, sh = suffstats(x, state.lw, state.lh)
+    new, pending = posterior_update(
+        sw, sh, state, hyper, fudge, lgx, cell_mask=cell_mask,
+        m_true=m_true, rank_mask=rank_mask, r_true=r_true)
+    lkh = (pending + data_term(x, new.lw, new.lh)) / (n * m)
+    return new._replace(lkh=lkh)
 
 
 # ---------------------------------------------------------------------
@@ -366,12 +407,14 @@ class VBRunResult(NamedTuple):
 
 
 @partial(jax.jit, static_argnames=("itmax", "hyper_mask", "n0", "dn",
-                                   "suffstats", "data_term", "m_true"))
+                                   "suffstats", "data_term", "m_true",
+                                   "fused"))
 def vb_run(x, state0: VBState, hyper0: Hyper, *, itmax: int = 10000,
            tol: float = 1e-5, fudge=None, hyper_mask=(True,) * 4,
            n0: int = 10, dn: int = 1,
            suffstats=suffstats_dense,
            data_term=elbo_data_term,
+           fused=None,
            cell_mask=None, m_true=None,
            rank_mask=None, r_true=None) -> VBRunResult:
     """Iterate vb_sweep to convergence for a single restart.
@@ -389,7 +432,24 @@ def vb_run(x, state0: VBState, hyper0: Hyper, *, itmax: int = 10000,
     ops.sparse.SparseCounts pytree (with matching suffstats/data_term
     backends); lgamma(x+1) over zeros is 0, so the hoisted constant is
     the same in every layout.
+
+    ``fused``, if given, is a single-pass kernel
+    ``(x, lw, lh) -> (swn, shn, dterm)`` returning the suffstat
+    NUMERATORS (sw = lw*swn, sh = lh*shn) AND the ELBO data term for
+    the same (lw, lh).  The loop then defers each sweep's ELBO
+    completion to the next sweep's pass over X (the data term of sweep
+    t and the suffstats of sweep t+1 consume identical lw/lh), halving
+    the passes over X per sweep.  The ELBO sequence, stopping decision,
+    recorded lml, n_iter, and final state are the same math as the
+    two-pass path, at the cost of one trailing fused call whose
+    suffstats are discarded.
     """
+    if fused is not None:
+        return _vb_run_fused(x, state0, hyper0, itmax=itmax, tol=tol,
+                             fudge=fudge, hyper_mask=hyper_mask, n0=n0,
+                             dn=dn, fused=fused, cell_mask=cell_mask,
+                             m_true=m_true, rank_mask=rank_mask,
+                             r_true=r_true)
     # SparseCounts -> its nonzero values; plain (possibly traced)
     # arrays pass through
     xval = x.val if isinstance(x, tuple) and hasattr(x, "val") else x
@@ -448,6 +508,89 @@ def vb_run(x, state0: VBState, hyper0: Hyper, *, itmax: int = 10000,
     it, state, hyper, lk0, done, hfail = lax.while_loop(cond, body, carry)
     return VBRunResult(state=state, hyper=hyper, lml=lk0,
                        n_iter=it - 1, hyper_failed=hfail)
+
+
+def _vb_run_fused(x, state0: VBState, hyper0: Hyper, *, itmax, tol,
+                  fudge, hyper_mask, n0, dn, fused,
+                  cell_mask=None, m_true=None,
+                  rank_mask=None, r_true=None) -> VBRunResult:
+    """Deferred-ELBO convergence loop over a fused single-pass kernel.
+
+    Fused iteration i evaluates ``fused(x, lw_i, lh_i)``; its data term
+    COMPLETES the ELBO of sweep i-1 (whose posterior update produced
+    lw_i/lh_i) while its suffstats BEGIN sweep i.  The reference-check
+    of sweep it therefore executes at fused iteration it+1, with
+    identical inputs and outcome as the eager two-pass loop in
+    :func:`vb_run`.
+    """
+    xval = x.val if isinstance(x, tuple) and hasattr(x, "val") else x
+    n = state0.lw.shape[0]
+    m = m_true if m_true is not None else state0.lh.shape[1]
+    if fudge is None:
+        fudge = _dtype_eps(xval.dtype)
+    fudge = jnp.asarray(fudge, xval.dtype)
+    lgx = jnp.sum(gammaln(xval + 1.0))
+    tol = jnp.asarray(tol, xval.dtype)
+    if rank_mask is not None:
+        mw = rank_mask[None, :]
+        mh = rank_mask[:, None]
+        state0 = state0._replace(
+            ew=state0.ew * mw, dw=state0.dw * mw,
+            lw=jnp.where(mw > 0, state0.lw, fudge),
+            eh=state0.eh * mh, dh=state0.dh * mh,
+            lh=jnp.where(mh > 0, state0.lh, fudge))
+    if cell_mask is not None:
+        state0 = state0._replace(
+            eh=state0.eh * cell_mask, dh=state0.dh * cell_mask,
+            lh=jnp.where(cell_mask > 0, state0.lh, fudge))
+
+    def cond(carry):
+        it, _, _, _, _, done, _ = carry
+        return (~done) & (it <= itmax + 1)
+
+    def body(carry):
+        it, state, hyper, lk0, pending, done, hfail = carry
+        swn, shn, dterm = fused(x, state.lw, state.lh)
+        itp = it - 1                      # the sweep being checked
+        lkh_prev = (pending + dterm) / (n * m)
+        nan_stop = jnp.isnan(lkh_prev) & (itp >= 1)
+        conv = ((itp > 1) & (itp > n0) & (lkh_prev >= lk0)
+                & (jnp.abs(1.0 - lkh_prev / lk0) < tol))
+        stop = nan_stop | conv
+        lk0 = jnp.where(itp >= 1, jnp.where(stop, lk0, lkh_prev), lk0)
+        state = state._replace(
+            lkh=jnp.where(itp >= 1, lkh_prev, state.lkh))
+
+        # sweep `it` (discarded when stopping or past itmax)
+        do_sweep = (~stop) & (it <= itmax)
+        sw = state.lw * swn
+        sh = state.lh * shn
+        new_state, new_pending = posterior_update(
+            sw, sh, state, hyper, fudge, lgx, cell_mask=cell_mask,
+            m_true=m_true, rank_mask=rank_mask, r_true=r_true)
+        do_hyper = do_sweep & (it > n0) & (it % dn == 0)
+        new_hyper, failed = hyper_update(
+            hyper_mask, new_state, hyper, cell_mask=cell_mask,
+            m_true=m_true, rank_mask=rank_mask, r_true=r_true)
+        hyper = Hyper(*(jnp.where(do_hyper, new, old)
+                        for new, old in zip(new_hyper, hyper)))
+        hfail = hfail | (do_hyper & failed)
+        state = jax.tree.map(
+            lambda new, old: jnp.where(do_sweep, new, old),
+            new_state, state)
+        pending = jnp.where(do_sweep, new_pending, pending)
+        done = stop | (it > itmax)
+        return it + 1, state, hyper, lk0, pending, done, hfail
+
+    it0 = jnp.asarray(1)
+    lk0 = jnp.asarray(0.0, xval.dtype)
+    pending0 = jnp.asarray(0.0, xval.dtype)
+    carry = (it0, state0, hyper0, lk0, pending0, jnp.asarray(False),
+             jnp.asarray(False))
+    it, state, hyper, lk0, _, done, hfail = lax.while_loop(
+        cond, body, carry)
+    return VBRunResult(state=state, hyper=hyper, lml=lk0,
+                       n_iter=it - 2, hyper_failed=hfail)
 
 
 def uniform_columns(ew, tol) -> jax.Array:

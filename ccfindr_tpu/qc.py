@@ -104,7 +104,8 @@ def filter_genes(obj: SCSet, markers=None, vmr_min: float = 0,
         sub_rd = obj.row_data.iloc[keep]
         for col in sub_rd.columns:
             selected |= sub_rd[col].astype(str).isin(markers).to_numpy()
-        selected |= sub_rd.index.astype(str).isin(markers).to_numpy()
+        # pandas Index.isin returns an ndarray (no .to_numpy())
+        selected |= np.asarray(sub_rd.index.astype(str).isin(markers))
         marker_genes = selected.copy()
 
     vmr = calc_vmr(count)

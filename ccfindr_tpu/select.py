@@ -133,7 +133,7 @@ def optimal_rank(object, df=10, BF_threshold=3.0, type=None, m=None):
         idx = below[0] if len(below) else len(me) - 1
         ropt = fx[idx]
 
-    return {"type": int(type), "ropt": float(ropt)}
+    return {"type": int(type), "ropt": int(round(float(ropt)))}
 
 
 def cluster_id(object: SCSet, rank: int = 2) -> pd.Series:

@@ -84,6 +84,7 @@ def build_tree(object: SCSet, rmax: int | None = None):
     ranks = list(object.ranks)
     if rmax is None:
         rmax = ranks[-1]
+    rmax = int(rmax)
     if (r0 - 1) not in ranks:
         raise ValueError("build_tree requires rank 2 in the scan")
     i0 = ranks.index(r0 - 1)

@@ -158,3 +158,23 @@ def test_schedule_partition():
     mine = partition_items(15, 4, 1)
     out = gather_results(vals[mine], mine, 15)
     np.testing.assert_allclose(out[mine], vals[mine])
+
+
+def test_vb_backends_agree():
+    """dense / dense_fused / pallas (fused) / pallas2pass backends give
+    the same factorization: dense vs dense_fused exactly, pallas within
+    float tolerance."""
+    sim = cf.simulate_whx(nrow=24, ncol=40, rank=3, seed=21)
+    s = cf.SCSet(count=sim["x"])
+    outs = {b: cf.vb_factorize(s, ranks=3, nrun=2, verbose=0,
+                               Itmax=300, backend=b, seed=5)
+            for b in ("dense", "dense_fused", "pallas", "pallas2pass")}
+    lml = {b: float(o.measure["lml"][0]) for b, o in outs.items()}
+    assert lml["dense"] == lml["dense_fused"]
+    np.testing.assert_allclose(lml["pallas"], lml["dense"], rtol=1e-6)
+    np.testing.assert_allclose(lml["pallas2pass"], lml["dense"],
+                               rtol=1e-6)
+    np.testing.assert_array_equal(outs["dense"].basis[0],
+                                  outs["dense_fused"].basis[0])
+    np.testing.assert_allclose(outs["pallas"].basis[0],
+                               outs["dense"].basis[0], rtol=1e-4)
