@@ -16,7 +16,13 @@ def pbmc(pbmc_dir):
 
 @pytest.fixture(scope="module")
 def pbmc_factorized(pbmc):
-    return cf.vb_factorize(pbmc, ranks=list(range(2, 9)), nrun=3,
+    """The vignette workflow (ccfindR.Rmd:236-379): QC-filter cells and
+    genes, then VB rank sweep — the ropt=5 ground truth is stated for
+    the filtered matrix (ccfindR.Rmd:414-423)."""
+    s = cf.filter_cells(pbmc, umi_min=300, umi_max=10000, plot=False)
+    s = cf.filter_genes(s, vmr_min=1.2, min_cells_expressed=50,
+                        plot=False, verbose=False)
+    return cf.vb_factorize(s, ranks=list(range(2, 9)), nrun=3,
                            verbose=0, Itmax=3000, seed=0)
 
 
