@@ -27,13 +27,20 @@ def _default_dtype():
 def factorize(object, ranks=2, nrun=20, randomize=False, nsmpl=1,
               verbose=2, Itmax=10000, ncnn_step=40,
               criterion="likelihood", linkage="average", Tol=1e-5,
-              store_connectivity=False, dtype=None, seed=0):
+              store_connectivity=False, dtype=None, seed=0,
+              backend="dense"):
     """ML (Lee–Seung KL) NMF over a rank sweep.
 
     Mirrors reference factorize parameters (R/factorize.R:139-143).
     With ``randomize=True``, each of ``nsmpl`` replicates shuffles every
     column of the count matrix independently (null model for rank
     statistics) and measures are averaged with standard errors.
+
+    ``backend``:
+
+    * ``'dense'``       — eager XLA loop (parity oracle)
+    * ``'dense_fused'`` — XLA, deferred-likelihood 2-passes-over-X loop
+    * ``'pallas'``      — fused single-pass H/W Pallas kernels
     """
     if np.isscalar(ranks):
         ranks = [int(ranks)]
@@ -73,6 +80,18 @@ def factorize(object, ranks=2, nrun=20, randomize=False, nsmpl=1,
             else:
                 mat = mat0
             x = jnp.asarray(mat, dtype)
+            run_kwargs = {}
+            if backend == "dense_fused":
+                run_kwargs = dict(fused_h=ml_ops.ml_h_dense,
+                                  fused_w=ml_ops.ml_w_dense)
+            elif backend == "pallas":
+                from ..ops.pallas import ml_kernels as mlk
+                fh, fw = mlk.make_ml_backend()
+                x = mlk.pad_matrix(x)
+                run_kwargs = dict(fused_h=fh, fused_w=fw,
+                                  nm_true=(n, m))
+            elif backend != "dense":
+                raise ValueError(f"unknown backend {backend!r}")
 
             key, sub = jax.random.split(key)
             keys = jax.random.split(sub, nrun)
@@ -81,7 +100,8 @@ def factorize(object, ranks=2, nrun=20, randomize=False, nsmpl=1,
             batched = jax.vmap(
                 lambda w, h: ml_ops.ml_run(
                     x, w, h, itmax=int(Itmax), tol=float(Tol),
-                    criterion=criterion, ncnn_step=int(ncnn_step)))
+                    criterion=criterion, ncnn_step=int(ncnn_step),
+                    **run_kwargs))
             out = batched(w0, h0)
             out = jax.tree.map(np.asarray, out)
 

@@ -84,17 +84,46 @@ class MLRunResult(NamedTuple):
     cid: jax.Array
 
 
-@partial(jax.jit, static_argnames=("itmax", "criterion", "ncnn_step"))
+def ml_h_dense(x, w, h):
+    """Single-pass fused H-phase (XLA): H-update numerator w^T(x/wh)
+    plus sum x*log(wh) — the likelihood data term for the same (w, h).
+    The remaining -sum(wh) reduces in rank space outside."""
+    wh = _dot(w, h)
+    return _dot(w.T, x / wh), jnp.sum(x * jnp.log(wh))
+
+
+def ml_w_dense(x, w, h):
+    """Fused W-phase (XLA): W-update numerator (x/wh) h^T."""
+    return _dot(x / _dot(w, h), h.T)
+
+
+@partial(jax.jit, static_argnames=("itmax", "criterion", "ncnn_step",
+                                   "fused_h", "fused_w", "nm_true"))
 def ml_run(x, w0, h0, *, itmax: int = 10000, tol: float = 1e-5,
-           criterion: str = "likelihood",
-           ncnn_step: int = 40) -> MLRunResult:
+           criterion: str = "likelihood", ncnn_step: int = 40,
+           fused_h=None, fused_w=None, nm_true=None) -> MLRunResult:
     """Iterate ml_sweep to convergence for one restart
     (reference driver loop R/factorize.R:187-213).
 
     criterion='likelihood': stop when |lkold - lk| < tol*|lkold|.
     criterion='connectivity': stop after ``ncnn_step`` consecutive
     sweeps with an unchanged hard-cluster partition.
+
+    ``fused_h``/``fused_w``, if given, are single-pass kernels
+    (ops.pallas.ml_kernels or the ml_*_dense pair above):
+    ``fused_h(x, w, h) -> (hn, xlogwh)`` and
+    ``fused_w(x, w, h') -> wn``.  The loop then evaluates the
+    likelihood of sweep t inside sweep t+1's H pass (same (w, h)),
+    bringing a sweep + likelihood from 3 passes over X down to 2, with
+    the identical stopping sequence, lkh, n_iter, and final factors.
+    ``x`` may then be pre-padded to tile boundaries; pass the true
+    (n, m) via ``nm_true``.
     """
+    if fused_h is not None:
+        return _ml_run_fused(x, w0, h0, itmax=itmax, tol=tol,
+                             criterion=criterion, ncnn_step=ncnn_step,
+                             fused_h=fused_h, fused_w=fused_w,
+                             nm_true=nm_true)
     eps = jnp.asarray(jnp.finfo(x.dtype).eps, x.dtype)
     tol = jnp.asarray(tol, x.dtype)
     lgconst = likelihood_const(x)
@@ -141,6 +170,87 @@ def ml_run(x, w0, h0, *, itmax: int = 10000, tol: float = 1e-5,
 
     return MLRunResult(w=w, h=h, lkh=lk0, n_iter=it - 1,
                        cid=hard_assign(h))
+
+
+def _ml_run_fused(x, w0, h0, *, itmax, tol, criterion, ncnn_step,
+                  fused_h, fused_w, nm_true=None) -> MLRunResult:
+    """Deferred-likelihood ML loop over single-pass fused kernels.
+
+    criterion='likelihood': fused iteration i completes the likelihood
+    of sweep i-1 from fused_h's x*log(wh) sum (same (w, h)), checks the
+    reference stopping rule one iteration late with identical inputs,
+    then performs sweep i.  criterion='connectivity': the partition
+    check needs only the updated H (no extra X pass); the final
+    likelihood is evaluated once post-loop.
+    """
+    eps = jnp.asarray(jnp.finfo(x.dtype).eps, x.dtype)
+    tol = jnp.asarray(tol, x.dtype)
+    lgconst = likelihood_const(x)
+    r = h0.shape[0]
+    n, m = nm_true if nm_true is not None else (w0.shape[0], h0.shape[1])
+    neginf = jnp.asarray(-jnp.inf, x.dtype)
+
+    def lk_of(xlw, w, h):
+        # -sum(wh) reduces in rank space: dot(colsum(w), rowsum(h))
+        return ((xlw - jnp.dot(jnp.sum(w, axis=0), jnp.sum(h, axis=1))
+                 + lgconst) / (n * m))
+
+    def do_sweep(w, h, hn):
+        h1 = jnp.maximum(h * hn / jnp.sum(w, axis=0)[:, None], eps)
+        wn = fused_w(x, w, h1)
+        w1 = jnp.maximum(w * wn / jnp.sum(h1, axis=1)[None, :], eps)
+        return w1, h1
+
+    if criterion == "likelihood":
+        def cond(c):
+            it, w, h, lk2, done = c
+            return (~done) & (it <= itmax + 1)
+
+        def body(c):
+            it, w, h, lk2, _ = c
+            hn, xlw = fused_h(x, w, h)
+            lk_prev = lk_of(xlw, w, h)        # likelihood of sweep it-1
+            conv = ((it >= 2)
+                    & (jnp.abs(lk2 - lk_prev) < tol * jnp.abs(lk2)))
+            take = (~conv) & (it <= itmax)
+            w1, h1 = do_sweep(w, h, hn)
+            w = jnp.where(take, w1, w)
+            h = jnp.where(take, h1, h)
+            lk2 = jnp.where(it >= 2, lk_prev, neginf)
+            done = conv | (it > itmax)
+            return it + 1, w, h, lk2, done
+
+        it, w, h, lk2, done = lax.while_loop(
+            cond, body, (jnp.asarray(1), w0, h0, neginf,
+                         jnp.asarray(False)))
+        return MLRunResult(w=w, h=h, lkh=lk2, n_iter=it - 2,
+                           cid=hard_assign(h))
+
+    elif criterion == "connectivity":
+        def cond(c):
+            it, w, h, cid0, zstep, done = c
+            return (~done) & (it <= itmax)
+
+        def body(c):
+            it, w, h, cid0, zstep, _ = c
+            hn, _ = fused_h(x, w, h)
+            w, h = do_sweep(w, h, hn)
+            cid = hard_assign(h)
+            same = (it > 1) & partitions_equal(cid0, cid, r)
+            zstep = jnp.where(same, zstep + 1,
+                              jnp.asarray(0, jnp.int32))
+            done = zstep == ncnn_step
+            return it + 1, w, h, cid, zstep, done
+
+        it, w, h, cid, _, done = lax.while_loop(
+            cond, body, (jnp.asarray(1), w0, h0,
+                         jnp.zeros((h0.shape[1],), jnp.int32),
+                         jnp.asarray(0, jnp.int32), jnp.asarray(False)))
+        _, xlw = fused_h(x, w, h)
+        return MLRunResult(w=w, h=h, lkh=lk_of(xlw, w, h),
+                           n_iter=it - 1, cid=cid)
+    else:
+        raise ValueError("Unknown stopping criterion.")
 
 
 def ml_init(key, n, m, rank, dtype=jnp.float32):

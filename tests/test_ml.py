@@ -120,3 +120,71 @@ def test_factorize_randomize_se_columns():
     s = cf.factorize(s, ranks=2, nrun=2, randomize=True, nsmpl=2,
                      verbose=0, Itmax=200)
     assert {"r_se", "d_se", "c_se"} <= set(s.measure.columns)
+
+
+def test_ml_run_fused_matches_eager():
+    """Deferred-likelihood fused loop == eager loop exactly (same
+    GEMMs): n_iter, lkh, final factors, both stopping criteria."""
+    import jax
+    import jax.numpy as jnp
+    from ccfindr_tpu.ops import ml as ml_ops
+
+    n, m, r = 30, 48, 3
+    rng = np.random.default_rng(13)
+    x = jnp.asarray(rng.poisson(
+        rng.gamma(2.0, 1.0, (n, r)) @ rng.gamma(2.0, 1.0, (r, m))),
+        jnp.float64)
+    key = jax.random.PRNGKey(2)
+    w0, h0 = ml_ops.ml_init(key, n, m, r, jnp.float64)
+    for crit, kw in [("likelihood", dict(itmax=400, tol=1e-6)),
+                     ("likelihood", dict(itmax=9, tol=1e-12)),
+                     ("connectivity", dict(itmax=300, ncnn_step=20))]:
+        eager = ml_ops.ml_run(x, w0, h0, criterion=crit, **kw)
+        fused = ml_ops.ml_run(x, w0, h0, criterion=crit,
+                              fused_h=ml_ops.ml_h_dense,
+                              fused_w=ml_ops.ml_w_dense, **kw)
+        assert int(eager.n_iter) == int(fused.n_iter), crit
+        np.testing.assert_allclose(float(fused.lkh), float(eager.lkh),
+                                   rtol=1e-12)
+        np.testing.assert_array_equal(np.asarray(eager.w),
+                                      np.asarray(fused.w))
+        np.testing.assert_array_equal(np.asarray(eager.cid),
+                                      np.asarray(fused.cid))
+
+
+def test_ml_pallas_kernels_match_dense():
+    import jax
+    import jax.numpy as jnp
+    from ccfindr_tpu.ops import ml as ml_ops
+    from ccfindr_tpu.ops.pallas import ml_kernels as mlk
+
+    n, m, r = 24, 40, 4
+    rng = np.random.default_rng(14)
+    x = jnp.asarray(rng.poisson(2.0, (n, m)), jnp.float64)
+    w = jnp.asarray(rng.gamma(1.0, 1.0, (n, r)))
+    h = jnp.asarray(rng.gamma(1.0, 1.0, (r, m)))
+    hn_d, xlw_d = ml_ops.ml_h_dense(x, w, h)
+    hn_p, xlw_p = mlk.ml_h_pallas(x, w, h, bn=8, bm=128)
+    np.testing.assert_allclose(np.asarray(hn_p), np.asarray(hn_d),
+                               rtol=1e-9)
+    np.testing.assert_allclose(float(xlw_p), float(xlw_d), rtol=1e-9)
+    wn_d = ml_ops.ml_w_dense(x, w, h)
+    wn_p = mlk.ml_w_pallas(x, w, h, bn=8, bm=128)
+    np.testing.assert_allclose(np.asarray(wn_p), np.asarray(wn_d),
+                               rtol=1e-9)
+
+
+def test_factorize_backends_agree():
+    rng = np.random.default_rng(15)
+    x = rng.poisson(
+        rng.gamma(2.0, 1.0, (20, 3)) @ rng.gamma(2.0, 1.0, (3, 30)))
+    x = x + (x.sum(0) == 0)  # no empty columns
+    outs = {b: cf.factorize(x, ranks=3, nrun=2, verbose=0, Itmax=200,
+                            seed=7, backend=b)
+            for b in ("dense", "dense_fused", "pallas")}
+    lk = {b: float(o.measure["likelihood"][0]) for b, o in outs.items()}
+    # -sum(wh) is reduced in rank space in the fused path: equal math,
+    # different summation order
+    np.testing.assert_allclose(lk["dense_fused"], lk["dense"],
+                               rtol=1e-12)
+    np.testing.assert_allclose(lk["pallas"], lk["dense"], rtol=1e-6)
