@@ -210,9 +210,7 @@ def vb_factorize(object, ranks=2, nrun=1, verbose=2,
         import scipy.sparse as sp
         src = object.counts if isinstance(object, SCSet) else mat
         x = sk.from_scipy(sp.csr_matrix(src), dtype=dtype)
-        ss, dt = sk.make_sparse_backend()
-        run_kwargs["suffstats"] = ss
-        run_kwargs["data_term"] = dt
+        run_kwargs["fused"] = sk.make_sparse_fused()
     else:
         raise ValueError(f"unknown backend {backend!r}")
     if suffstats is not None:

@@ -106,3 +106,31 @@ def test_vb_factorize_pallas_backend():
                         seed=12, backend="pallas")
     np.testing.assert_allclose(a.measure["lml"], b.measure["lml"],
                                rtol=1e-8)
+
+
+def test_fused_coo_matches_twopass():
+    import jax.numpy as jnp
+    from ccfindr_tpu.ops import sparse as sk
+    from ccfindr_tpu.ops import vb as vb_ops
+
+    n, m, r = 30, 44, 4
+    rng = np.random.default_rng(9)
+    x = rng.poisson(0.6, (n, m)).astype(np.float64)
+    lw = jnp.asarray(rng.gamma(1.0, 1.0, (n, r)))
+    lh = jnp.asarray(rng.gamma(1.0, 1.0, (r, m)))
+    sc = sk.from_dense(x, dtype=jnp.float64, chunk=64)
+    swn, shn, dt = sk.fused_coo(sc, lw, lh, chunk=64)
+    sw2, sh2 = sk.suffstats_coo(sc, lw, lh, chunk=64)
+    d2 = sk.elbo_data_coo(sc, lw, lh, chunk=64)
+    np.testing.assert_allclose(np.asarray(lw * swn), np.asarray(sw2),
+                               rtol=1e-12)
+    np.testing.assert_allclose(np.asarray(lh * shn), np.asarray(sh2),
+                               rtol=1e-12)
+    np.testing.assert_allclose(float(dt), float(d2), rtol=1e-12)
+    # and against the dense fused backend
+    swn_d, shn_d, dt_d = vb_ops.fused_dense(jnp.asarray(x), lw, lh)
+    np.testing.assert_allclose(np.asarray(swn), np.asarray(swn_d),
+                               rtol=1e-9)
+    np.testing.assert_allclose(np.asarray(shn), np.asarray(shn_d),
+                               rtol=1e-9)
+    np.testing.assert_allclose(float(dt), float(dt_d), rtol=1e-9)
