@@ -194,8 +194,15 @@ def vb_factorize(object, ranks=2, nrun=1, verbose=2,
         run_kwargs["fused"] = vb_ops.fused_dense
     elif backend == "pallas":
         from ..ops import pallas as pk
-        x = pk.pad_matrix(jnp.asarray(mat, dtype))
-        run_kwargs["fused"] = pk.make_fused_backend()
+        if mesh is not None and "cells" in mesh.axis_names:
+            # per-shard fused kernel + explicit psum collectives;
+            # X stays unpadded globally (each shard pads locally)
+            from ..parallel.sharded import make_fused_sharded
+            x = jnp.asarray(mat, dtype)
+            run_kwargs["fused"] = make_fused_sharded(mesh)
+        else:
+            x = pk.pad_matrix(jnp.asarray(mat, dtype))
+            run_kwargs["fused"] = pk.make_fused_backend()
     elif backend == "pallas2pass":
         from ..ops import pallas as pk
         x = pk.pad_matrix(jnp.asarray(mat, dtype))

@@ -1,0 +1,74 @@
+"""Sharded fused-kernel backends: explicit SPMD over the cell axis.
+
+The dense mesh path lets GSPMD auto-partition the XLA einsums; this
+module instead runs the fused single-pass Pallas kernel PER SHARD via
+``shard_map`` and inserts the collectives by hand — the TPU-native
+analog of the communication plan in SURVEY.md §2.3/§5:
+
+per sweep, each device reads only its (genes x local-cells) block of X
+and contributes
+
+* ``psum`` of the n x r sufficient-stat partial ``swn`` (W is
+  replicated; its statistics reduce over cell shards),
+* its local slice of ``shn`` (H is cell-sharded; no communication),
+* ``psum`` of the scalar ELBO data term.
+
+Communication per sweep is O(n*r) floats — tiny next to the
+O(n*m_local*r) on-chip compute.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+from jax.sharding import Mesh, PartitionSpec as P
+
+try:                                     # JAX >= 0.8
+    from jax import shard_map as _shard_map
+
+    def _smap(fn, mesh, in_specs, out_specs):
+        return _shard_map(fn, mesh=mesh, in_specs=in_specs,
+                          out_specs=out_specs, check_vma=False)
+except ImportError:                      # older JAX
+    from jax.experimental.shard_map import shard_map as _shard_map
+
+    def _smap(fn, mesh, in_specs, out_specs):
+        return _shard_map(fn, mesh=mesh, in_specs=in_specs,
+                          out_specs=out_specs, check_rep=False)
+
+
+def make_fused_sharded(mesh: Mesh, fused_local=None,
+                       bn: int = None, bm: int = None):
+    """Fused backend for ops.vb.vb_run(fused=...) over a cell-sharded
+    mesh.
+
+    ``fused_local(x_local, lw, lh_local) -> (swn_part, shn_local,
+    dterm_part)`` runs on each device's X block; defaults to the
+    single-pass Pallas kernel (ops.pallas.fused_pallas), which
+    zero-pads its local block to tile boundaries internally (padding
+    contributes nothing).  X must be sharded P(None, 'cells') and the
+    global cell count divisible by the 'cells' axis size (the driver's
+    cell padding + mask guarantees this).
+    """
+    if fused_local is None:
+        from ..ops.pallas import vb_kernels as pk
+        kw = {}
+        if bn is not None:
+            kw["bn"] = bn
+        if bm is not None:
+            kw["bm"] = bm
+
+        def fused_local(x, lw, lh):
+            return pk.fused_pallas(x, lw, lh, **kw)
+
+    def local(x, lw, lh):
+        swn, shn, dterm = fused_local(x, lw, lh)
+        swn = jax.lax.psum(swn, "cells")
+        dterm = jax.lax.psum(dterm, "cells")
+        return swn, shn, dterm
+
+    return _smap(local, mesh,
+                 in_specs=(P(None, "cells"), P(None, None),
+                           P(None, "cells")),
+                 out_specs=(P(None, None), P(None, "cells"), P()))

@@ -89,3 +89,52 @@ def test_ml_factorize_on_mesh_smoke(mesh8):
     s = cf.SCSet(count=x)
     out = cf.factorize(s, ranks=2, nrun=2, verbose=0, Itmax=100)
     assert out.ranks == [2]
+
+
+def test_fused_sharded_matches_dense(mesh8):
+    """shard_map fused kernel (per-shard pallas + explicit psum) ==
+    single-device fused_dense."""
+    from ccfindr_tpu.parallel.sharded import make_fused_sharded
+    from jax.sharding import NamedSharding
+
+    n, m, r = 16, 32, 3
+    rng = np.random.default_rng(17)
+    x = jnp.asarray(rng.poisson(2.0, (n, m)).astype(np.float64))
+    lw = jnp.asarray(rng.gamma(1.0, 1.0, (n, r)))
+    lh = jnp.asarray(rng.gamma(1.0, 1.0, (r, m)))
+    ref = vb_ops.fused_dense(x, lw, lh)
+
+    fused = make_fused_sharded(mesh8, bn=8, bm=8)
+    xs = jax.device_put(x, NamedSharding(mesh8, P(None, "cells")))
+    lhs = jax.device_put(lh, NamedSharding(mesh8, P(None, "cells")))
+    out = jax.jit(fused)(xs, lw, lhs)
+    for a, b, name in zip(out, ref, ("swn", "shn", "dterm")):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-9, err_msg=name)
+
+
+def test_vb_factorize_mesh_pallas_backend(mesh8):
+    """Driver mesh path with the sharded fused pallas backend: same
+    science as the single-device fused run."""
+    # planted rank 3 so both fitted ranks are well-posed (an overfit
+    # rank is degenerate and sensitive to the restart init stream,
+    # which differs between padded and unpadded cell axes)
+    sim = cf.simulate_whx(nrow=20, ncol=33, rank=3, seed=44)
+    s = cf.SCSet(count=sim["x"])
+    a = cf.vb_factorize(s, ranks=[2, 3], nrun=2, verbose=0, Itmax=300,
+                        seed=9, backend="pallas")
+    b = cf.vb_factorize(s, ranks=[2, 3], nrun=2, verbose=0, Itmax=300,
+                        seed=9, backend="pallas", mesh=mesh8)
+    np.testing.assert_allclose(a.measure["lml"], b.measure["lml"],
+                               rtol=1e-3)
+    for k in range(2):
+        cid_a = np.argmax(a.coeff[k], axis=0)
+        cid_b = np.argmax(b.coeff[k], axis=0)
+        # NMF factors are permutation-symmetric: map each a-label to
+        # its majority b-label and compare partitions
+        r = k + 2
+        remap = {ca: np.bincount(cid_b[cid_a == ca], minlength=r
+                                 ).argmax() for ca in range(r)}
+        concord = np.mean([remap[ca] == cb
+                           for ca, cb in zip(cid_a, cid_b)])
+        assert concord > 0.97, (k, concord)
