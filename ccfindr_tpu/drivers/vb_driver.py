@@ -79,6 +79,102 @@ def _load_rank_ckpt(ckpt_dir, rank):
     return d["rdat"], int(d["imax"]), res
 
 
+def _chunked_vb(call, states, hypers, nb, itmax, every, ckpt_file,
+                np_dtype, verbose, place=None):
+    """Run a vmapped vb_run in sweep chunks with host checkpoints.
+
+    ``call(states, hypers, itmax, it0, lk0) -> VBRunResult`` (vmapped
+    over nb instances).  After each chunk the full loop carry (states,
+    hypers, per-instance lk0, absolute sweep index) is saved to
+    ``ckpt_file``; a later invocation resumes exactly (vb_run's
+    it0/lk0_init continuation).  Instances that converge inside a chunk
+    are frozen host-side so their (state, lml, n_iter) equal the
+    uninterrupted run's bit-for-bit, even though the vmapped loop keeps
+    re-entering their lanes.
+    """
+    import os
+
+    from ..ops.vb import VBRunResult
+
+    it0 = 1
+    lk0 = np.zeros(nb, dtype=np_dtype)
+    n_rec = np.full(nb, -1, np.int64)
+    rec = None
+    if ckpt_file is not None and os.path.exists(ckpt_file):
+        z = np.load(ckpt_file)
+        it0 = int(z["it0"])
+        lk0 = z["lk0"]
+        n_rec = z["n_rec"]
+        st_np = VBState(*(z[f"st_{f}"] for f in VBState._fields))
+        hy_np = Hyper(*(z[f"hy_{f}"] for f in Hyper._fields))
+        # a converged lane's saved carry IS its frozen result (the
+        # vmapped loop stops updating done lanes), so the loaded
+        # arrays seed `rec` exactly
+        rec = VBRunResult(state=st_np, hyper=hy_np, lml=lk0,
+                          n_iter=n_rec, hyper_failed=z["hf"])
+        states = VBState(*(jnp.asarray(a) for a in st_np))
+        hypers = Hyper(*(jnp.asarray(a) for a in hy_np))
+        if place is not None:
+            states, hypers = place(states, hypers)
+        if verbose >= 1:
+            print(f"Resumed sweep checkpoint at iteration {it0}")
+
+    out = None
+    while True:
+        end = min(it0 - 1 + every, itmax)
+        out = call(states, hypers, jnp.asarray(end), jnp.asarray(it0),
+                   jnp.asarray(lk0))
+        out = jax.tree.map(np.asarray, out)
+        if rec is None:
+            rec = jax.tree.map(np.copy, out)
+        newly = (out.n_iter < end) & (n_rec < 0)
+        if newly.any():
+            idx = np.nonzero(newly)[0]
+            rec = jax.tree.map(
+                lambda r, o: _assign_rows(r, o, idx), rec, out)
+            n_rec[idx] = out.n_iter[idx]
+        if end >= itmax or (n_rec >= 0).all():
+            break
+        it0 = end + 1
+        # frozen lanes carry their rec rows forward (their live carry
+        # would drift by one re-entry sweep per chunk otherwise)
+        carry = jax.tree.map(
+            lambda o, r: _assign_rows(o, r, np.nonzero(n_rec >= 0)[0]),
+            out, rec)
+        lk0 = carry.lml
+        states = VBState(*(jnp.asarray(getattr(carry.state, f))
+                           for f in VBState._fields))
+        hypers = Hyper(*(jnp.asarray(getattr(carry.hyper, f))
+                         for f in Hyper._fields))
+        if place is not None:
+            states, hypers = place(states, hypers)
+        if ckpt_file is not None:
+            save = dict(it0=it0, lk0=carry.lml, n_rec=n_rec,
+                        hf=carry.hyper_failed)
+            for f in VBState._fields:
+                save[f"st_{f}"] = np.asarray(getattr(carry.state, f))
+            for f in Hyper._fields:
+                save[f"hy_{f}"] = np.asarray(getattr(carry.hyper, f))
+            np.savez(ckpt_file, **save)
+        if verbose >= 2:
+            print(f"checkpointed at sweep {end}: "
+                  f"{int((n_rec >= 0).sum())}/{nb} converged")
+
+    # merge: frozen lanes authoritative, rest from the final chunk
+    frozen = n_rec >= 0
+    idx = np.nonzero(frozen)[0]
+    out = jax.tree.map(lambda o, r: _assign_rows(o, r, idx), out, rec)
+    if ckpt_file is not None and os.path.exists(ckpt_file):
+        os.remove(ckpt_file)
+    return out
+
+
+def _assign_rows(dst, src, idx):
+    res = np.array(dst)
+    res[idx] = src[idx]
+    return res
+
+
 def _place_sharded(x, states, hypers, mesh):
     """Lay out the batched problem on a device mesh: X cell-sharded,
     H-family cell-sharded, W-family replicated, restarts over 'runs'."""
@@ -109,6 +205,7 @@ def vb_factorize(object, ranks=2, nrun=1, verbose=2,
                  connectivity=False, fudge=None, unif_stop=True,
                  dtype=None, seed=0, mesh=None, backend="dense",
                  batch_ranks="auto", checkpoint_dir=None,
+                 checkpoint_every=None,
                  suffstats=None, data_term=None):
     """Bayesian NMF inference of a count matrix.
 
@@ -133,6 +230,15 @@ def vb_factorize(object, ranks=2, nrun=1, verbose=2,
     multiple ranks, and no checkpoint dir is given (checkpointing
     needs per-rank completion); pass False to force the sequential
     rank loop.
+
+    ``checkpoint_every=K`` (with ``checkpoint_dir``) additionally
+    checkpoints MID-RUN every K sweeps: the device loop executes in
+    K-sweep chunks whose full carry (factors, hypers, per-instance
+    ELBO, absolute sweep index) is persisted, so an interrupted
+    multi-hour factorization resumes exactly where it stopped — with
+    results bit-identical to an uninterrupted run (vb_run's it0 /
+    lk0_init continuation is exact).  Works in both the batched and
+    sequential rank paths.
 
     ``suffstats``/``data_term`` override the backend kernels directly.
     Returns a new :class:`SCSet` with ranks/basis/dbasis/coeff/dcoeff
@@ -170,9 +276,11 @@ def vb_factorize(object, ranks=2, nrun=1, verbose=2,
 
     key = jax.random.PRNGKey(seed)
 
-    run_kwargs = dict(itmax=int(Itmax), tol=float(Tol), fudge=fudge,
+    run_kwargs = dict(tol=float(Tol), fudge=fudge,
                       hyper_mask=hyper_mask, n0=int(hyper_update_n0),
                       dn=int(hyper_update_dn))
+    itmax = int(Itmax)
+    np_dtype = np.dtype(np.zeros((), np.dtype(jnp.zeros((), dtype).dtype)).dtype)
     # mesh mode: pad the cell axis to the 'cells' axis size and mask —
     # masked padding contributes exactly nothing (ops.vb.vb_sweep)
     m_pad = m
@@ -274,7 +382,8 @@ def vb_factorize(object, ranks=2, nrun=1, verbose=2,
 
     if batch_ranks == "auto":
         batch_ranks = (initializer == "random" and len(ranks) > 1
-                       and checkpoint_dir is None)
+                       and (checkpoint_dir is None
+                            or checkpoint_every is not None))
     if batch_ranks:
         # one vmapped batch over ALL (rank, run) instances, padded to
         # max(ranks) with per-instance rank masks
@@ -293,7 +402,6 @@ def vb_factorize(object, ranks=2, nrun=1, verbose=2,
                        bw=jnp.full((nb,), bw0, dtype),
                        ah=jnp.full((nb,), ah0, dtype),
                        bh=jnp.full((nb,), bh0, dtype))
-        np_dtype = np.dtype(jnp.zeros((), dtype).dtype)
         rmask = jnp.asarray(
             (np.arange(rmax_)[None, :] < rank_arr[:, None]
              ).astype(np_dtype))
@@ -303,11 +411,31 @@ def vb_factorize(object, ranks=2, nrun=1, verbose=2,
             xdev, states, hyper0 = _place_sharded(x, states, hyper0,
                                                   mesh)
         batched = jax.vmap(
-            lambda st, hy, rm, rt: vb_ops.vb_run(
-                xdev, st, hy, rank_mask=rm, r_true=rt, **run_kwargs))
+            lambda st, hy, rm, rt, l0, im, i0: vb_ops.vb_run(
+                xdev, st, hy, rank_mask=rm, r_true=rt, itmax=im,
+                it0=i0, lk0_init=l0, **run_kwargs),
+            in_axes=(0, 0, 0, 0, 0, None, None))
+
+        def call(st, hy, im, i0, l0):
+            return batched(st, hy, rmask, rtrue, l0, im, i0)
+
+        place = ((lambda st, hy: _place_sharded(x, st, hy, mesh)[1:])
+                 if mesh is not None else None)
         with timings.phase("vb_rank_batch", ranks=list(ranks),
                            nrun=nrun):
-            out = batched(states, hyper0, rmask, rtrue)
+            if checkpoint_every:
+                import os
+                ckf = (os.path.join(checkpoint_dir, "vb_sweeps_batch.npz")
+                       if checkpoint_dir is not None else None)
+                if ckf is not None:
+                    os.makedirs(checkpoint_dir, exist_ok=True)
+                out = _chunked_vb(call, states, hyper0, nb, itmax,
+                                  int(checkpoint_every), ckf, np_dtype,
+                                  verbose, place=place)
+            else:
+                out = call(states, hyper0, jnp.asarray(itmax),
+                           jnp.asarray(1),
+                           jnp.zeros((nb,), dtype))
             out = jax.tree.map(np.asarray, out)
         timings.records[-1]["total_sweeps"] = int(out.n_iter.sum())
         for k, rank in enumerate(ranks):
@@ -352,9 +480,31 @@ def vb_factorize(object, ranks=2, nrun=1, verbose=2,
             xdev, states, hyper0 = _place_sharded(x, states, hyper0, mesh)
 
         batched = jax.vmap(
-            lambda st, hy: vb_ops.vb_run(xdev, st, hy, **run_kwargs))
+            lambda st, hy, l0, im, i0: vb_ops.vb_run(
+                xdev, st, hy, itmax=im, it0=i0, lk0_init=l0,
+                **run_kwargs),
+            in_axes=(0, 0, 0, None, None))
+
+        def call(st, hy, im, i0, l0):
+            return batched(st, hy, l0, im, i0)
+
+        place = ((lambda st, hy: _place_sharded(x, st, hy, mesh)[1:])
+                 if mesh is not None else None)
         with timings.phase("vb_rank", rank=rank, nrun=nrun):
-            out = batched(states, hyper0)
+            if checkpoint_every:
+                import os
+                ckf = (os.path.join(checkpoint_dir,
+                                    f"vb_sweeps_rank{rank}.npz")
+                       if checkpoint_dir is not None else None)
+                if ckf is not None:
+                    os.makedirs(checkpoint_dir, exist_ok=True)
+                out = _chunked_vb(call, states, hyper0, nrun, itmax,
+                                  int(checkpoint_every), ckf, np_dtype,
+                                  verbose, place=place)
+            else:
+                out = call(states, hyper0, jnp.asarray(itmax),
+                           jnp.asarray(1),
+                           jnp.zeros((nrun,), dtype))
             out = jax.tree.map(np.asarray, out)
         timings.records[-1]["total_sweeps"] = int(out.n_iter.sum())
 

@@ -406,7 +406,7 @@ class VBRunResult(NamedTuple):
     hyper_failed: jax.Array
 
 
-@partial(jax.jit, static_argnames=("itmax", "hyper_mask", "n0", "dn",
+@partial(jax.jit, static_argnames=("hyper_mask", "n0", "dn",
                                    "suffstats", "data_term", "m_true",
                                    "fused"))
 def vb_run(x, state0: VBState, hyper0: Hyper, *, itmax: int = 10000,
@@ -416,7 +416,8 @@ def vb_run(x, state0: VBState, hyper0: Hyper, *, itmax: int = 10000,
            data_term=elbo_data_term,
            fused=None,
            cell_mask=None, m_true=None,
-           rank_mask=None, r_true=None) -> VBRunResult:
+           rank_mask=None, r_true=None,
+           it0=1, lk0_init=None) -> VBRunResult:
     """Iterate vb_sweep to convergence for a single restart.
 
     Stopping mirrors the reference (R/bayesian.R:345-348): after the
@@ -443,13 +444,22 @@ def vb_run(x, state0: VBState, hyper0: Hyper, *, itmax: int = 10000,
     recorded lml, n_iter, and final state are the same math as the
     two-pass path, at the cost of one trailing fused call whose
     suffstats are discarded.
+
+    ``it0``/``lk0_init`` resume a previously bounded run: pass the
+    prior call's ``n_iter + 1`` and ``lml`` together with its final
+    state/hyper, and the loop continues with the exact same stopping
+    sequence as one uninterrupted run (the sweep index is absolute, so
+    the n0/dn hyper cadence and convergence guards line up).  Backbone
+    of sweep-level checkpointing (drivers.vb_driver checkpoint_every).
     """
+    if lk0_init is None:
+        lk0_init = 0.0
     if fused is not None:
         return _vb_run_fused(x, state0, hyper0, itmax=itmax, tol=tol,
                              fudge=fudge, hyper_mask=hyper_mask, n0=n0,
                              dn=dn, fused=fused, cell_mask=cell_mask,
                              m_true=m_true, rank_mask=rank_mask,
-                             r_true=r_true)
+                             r_true=r_true, it0=it0, lk0_init=lk0_init)
     # SparseCounts -> its nonzero values; plain (possibly traced)
     # arrays pass through
     xval = x.val if isinstance(x, tuple) and hasattr(x, "val") else x
@@ -501,9 +511,9 @@ def vb_run(x, state0: VBState, hyper0: Hyper, *, itmax: int = 10000,
         lk0 = jnp.where(done, lk0, lkh)   # reference keeps previous lk0
         return it + 1, state, hyper, lk0, done, hfail
 
-    it0 = jnp.asarray(1)
-    lk0 = jnp.asarray(0.0, xval.dtype)
-    carry = (it0, state0, hyper0, lk0, jnp.asarray(False),
+    it_start = jnp.asarray(it0)
+    lk0 = jnp.asarray(lk0_init, xval.dtype)
+    carry = (it_start, state0, hyper0, lk0, jnp.asarray(False),
              jnp.asarray(False))
     it, state, hyper, lk0, done, hfail = lax.while_loop(cond, body, carry)
     return VBRunResult(state=state, hyper=hyper, lml=lk0,
@@ -513,7 +523,8 @@ def vb_run(x, state0: VBState, hyper0: Hyper, *, itmax: int = 10000,
 def _vb_run_fused(x, state0: VBState, hyper0: Hyper, *, itmax, tol,
                   fudge, hyper_mask, n0, dn, fused,
                   cell_mask=None, m_true=None,
-                  rank_mask=None, r_true=None) -> VBRunResult:
+                  rank_mask=None, r_true=None,
+                  it0=1, lk0_init=0.0) -> VBRunResult:
     """Deferred-ELBO convergence loop over a fused single-pass kernel.
 
     Fused iteration i evaluates ``fused(x, lw_i, lh_i)``; its data term
@@ -553,13 +564,17 @@ def _vb_run_fused(x, state0: VBState, hyper0: Hyper, *, itmax, tol,
         swn, shn, dterm = fused(x, state.lw, state.lh)
         itp = it - 1                      # the sweep being checked
         lkh_prev = (pending + dterm) / (n * m)
-        nan_stop = jnp.isnan(lkh_prev) & (itp >= 1)
-        conv = ((itp > 1) & (itp > n0) & (lkh_prev >= lk0)
+        # pending is only valid for sweeps performed in THIS call
+        # (itp >= it0); on resume, sweep it0-1 was already checked by
+        # the previous call and lk0_init carries its ELBO
+        valid = itp >= it_start
+        nan_stop = jnp.isnan(lkh_prev) & valid
+        conv = (valid & (itp > 1) & (itp > n0) & (lkh_prev >= lk0)
                 & (jnp.abs(1.0 - lkh_prev / lk0) < tol))
         stop = nan_stop | conv
-        lk0 = jnp.where(itp >= 1, jnp.where(stop, lk0, lkh_prev), lk0)
+        lk0 = jnp.where(valid, jnp.where(stop, lk0, lkh_prev), lk0)
         state = state._replace(
-            lkh=jnp.where(itp >= 1, lkh_prev, state.lkh))
+            lkh=jnp.where(valid, lkh_prev, state.lkh))
 
         # sweep `it` (discarded when stopping or past itmax)
         do_sweep = (~stop) & (it <= itmax)
@@ -582,11 +597,11 @@ def _vb_run_fused(x, state0: VBState, hyper0: Hyper, *, itmax, tol,
         done = stop | (it > itmax)
         return it + 1, state, hyper, lk0, pending, done, hfail
 
-    it0 = jnp.asarray(1)
-    lk0 = jnp.asarray(0.0, xval.dtype)
+    it_start = jnp.asarray(it0)
+    lk0 = jnp.asarray(lk0_init, xval.dtype)
     pending0 = jnp.asarray(0.0, xval.dtype)
-    carry = (it0, state0, hyper0, lk0, pending0, jnp.asarray(False),
-             jnp.asarray(False))
+    carry = (it_start, state0, hyper0, lk0, pending0,
+             jnp.asarray(False), jnp.asarray(False))
     it, state, hyper, lk0, _, done, hfail = lax.while_loop(
         cond, body, carry)
     return VBRunResult(state=state, hyper=hyper, lml=lk0,

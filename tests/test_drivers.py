@@ -178,3 +178,48 @@ def test_vb_backends_agree():
                                   outs["dense_fused"].basis[0])
     np.testing.assert_allclose(outs["pallas"].basis[0],
                                outs["dense"].basis[0], rtol=1e-4)
+
+
+def test_checkpoint_every_matches_uninterrupted(tmp_path):
+    """Chunked sweep execution (checkpoint_every) gives bit-identical
+    results to one uninterrupted run, including after a simulated
+    crash + resume."""
+    sim = cf.simulate_whx(nrow=25, ncol=40, rank=3, seed=31)
+    s = cf.SCSet(count=sim["x"])
+    kw = dict(ranks=[2, 3], nrun=2, verbose=0, Itmax=400, seed=4)
+    a = cf.vb_factorize(s, **kw)
+    b = cf.vb_factorize(s, checkpoint_dir=str(tmp_path / "ck1"),
+                        checkpoint_every=30, **kw)
+    np.testing.assert_array_equal(a.measure["lml"], b.measure["lml"])
+    for k in range(2):
+        np.testing.assert_array_equal(a.basis[k], b.basis[k])
+        np.testing.assert_array_equal(a.coeff[k], b.coeff[k])
+
+    # simulated crash after the first chunk, then resume
+    from ccfindr_tpu.drivers import vb_driver as vd
+
+    orig = vd._chunked_vb
+    calls = {"n": 0}
+
+    def boom(call, *args, **kwargs):
+        def wrapped(*a, **k):
+            calls["n"] += 1
+            if calls["n"] == 2:
+                raise KeyboardInterrupt
+            return call(*a, **k)
+        return orig(wrapped, *args, **kwargs)
+
+    vd._chunked_vb = boom
+    try:
+        with pytest.raises(KeyboardInterrupt):
+            cf.vb_factorize(s, checkpoint_dir=str(tmp_path / "ck2"),
+                            checkpoint_every=30, **kw)
+    finally:
+        vd._chunked_vb = orig
+    import os
+    assert any("vb_sweeps" in f for f in os.listdir(tmp_path / "ck2"))
+    c = cf.vb_factorize(s, checkpoint_dir=str(tmp_path / "ck2"),
+                        checkpoint_every=30, **kw)
+    np.testing.assert_array_equal(a.measure["lml"], c.measure["lml"])
+    for k in range(2):
+        np.testing.assert_array_equal(a.basis[k], c.basis[k])
