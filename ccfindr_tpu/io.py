@@ -54,14 +54,24 @@ def read_mtx(path: str) -> sp.csr_matrix:
 
     lib = get_lib()
     if lib is not None:
+        import os
         rows = np.empty(nnz, np.int32)
         cols = np.empty(nnz, np.int32)
         vals = np.empty(nnz, np.float64)
-        rc = lib.mtx_parse(
-            path.encode(), nlines, nnz,
-            rows.ctypes.data_as(ctypes.POINTER(ctypes.c_int)),
-            cols.ctypes.data_as(ctypes.POINTER(ctypes.c_int)),
-            vals.ctypes.data_as(ctypes.POINTER(ctypes.c_double)))
+        nthreads = min(os.cpu_count() or 1, 16)
+        if hasattr(lib, "mtx_parse_mt"):
+            rc = lib.mtx_parse_mt(
+                path.encode(), nlines, nnz,
+                rows.ctypes.data_as(ctypes.POINTER(ctypes.c_int)),
+                cols.ctypes.data_as(ctypes.POINTER(ctypes.c_int)),
+                vals.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
+                nthreads)
+        else:
+            rc = lib.mtx_parse(
+                path.encode(), nlines, nnz,
+                rows.ctypes.data_as(ctypes.POINTER(ctypes.c_int)),
+                cols.ctypes.data_as(ctypes.POINTER(ctypes.c_int)),
+                vals.ctypes.data_as(ctypes.POINTER(ctypes.c_double)))
         if rc == 0:
             return sp.coo_matrix((vals.astype(dtype), (rows, cols)),
                                  shape=(n, m)).tocsr()

@@ -22,7 +22,7 @@ _build_failed = False
 def _build() -> bool:
     try:
         subprocess.run(
-            ["g++", "-O3", "-march=native", "-shared", "-fPIC",
+            ["g++", "-O3", "-march=native", "-shared", "-fPIC", "-pthread",
              "-o", _SO, _SRC],
             check=True, capture_output=True, timeout=120)
         return True
@@ -53,6 +53,12 @@ def get_lib():
         ctypes.c_char_p, ctypes.c_long, ctypes.c_long,
         ctypes.POINTER(ctypes.c_int), ctypes.POINTER(ctypes.c_int),
         ctypes.POINTER(ctypes.c_double)]
+    if hasattr(lib, "mtx_parse_mt"):
+        lib.mtx_parse_mt.restype = ctypes.c_int
+        lib.mtx_parse_mt.argtypes = [
+            ctypes.c_char_p, ctypes.c_long, ctypes.c_long,
+            ctypes.POINTER(ctypes.c_int), ctypes.POINTER(ctypes.c_int),
+            ctypes.POINTER(ctypes.c_double), ctypes.c_int]
     lib.mtx_write_body.restype = ctypes.c_int
     lib.mtx_write_body.argtypes = [
         ctypes.c_char_p, ctypes.c_long,

@@ -12,6 +12,8 @@
 #include <cstdio>
 #include <cstdlib>
 #include <cstring>
+#include <thread>
+#include <vector>
 
 extern "C" {
 
@@ -57,6 +59,130 @@ int mtx_parse(const char* path, long skip_lines, long nnz,
         vals[k] = v;
     }
     std::free(buf);
+    return 0;
+}
+
+namespace {
+
+// parse triplets in [p, stop) writing at offset k0; returns entries
+// parsed, or -1 on parse error
+long parse_range(char* p, char* stop, long k0, long kmax,
+                 int* rows, int* cols, double* vals) {
+    long k = k0;
+    while (p < stop && k < kmax) {
+        char* q;
+        long r = std::strtol(p, &q, 10);
+        if (q == p) {
+            // trailing whitespace-only tail is fine
+            while (p < stop && (*p == ' ' || *p == '\n' || *p == '\r'
+                                || *p == '\t')) ++p;
+            if (p >= stop) break;
+            return -1;
+        }
+        p = q;
+        long c = std::strtol(p, &q, 10);
+        if (q == p) return -1;
+        p = q;
+        double v = std::strtod(p, &q);
+        if (q == p) return -1;
+        p = q;
+        rows[k] = static_cast<int>(r - 1);
+        cols[k] = static_cast<int>(c - 1);
+        vals[k] = v;
+        ++k;
+    }
+    return k - k0;
+}
+
+}  // namespace
+
+// Multi-threaded variant of mtx_parse: splits the body at newline
+// boundaries into `nthreads` ranges, counts lines per range to fix
+// output offsets, then parses ranges in parallel.  ~Nx faster on
+// multi-core hosts for atlas-scale files (10^8+ nonzeros).
+int mtx_parse_mt(const char* path, long skip_lines, long nnz,
+                 int* rows, int* cols, double* vals, int nthreads) {
+    FILE* f = std::fopen(path, "rb");
+    if (!f) return -1;
+    std::fseek(f, 0, SEEK_END);
+    long size = std::ftell(f);
+    std::fseek(f, 0, SEEK_SET);
+    char* buf = static_cast<char*>(std::malloc(size + 1));
+    if (!buf) { std::fclose(f); return -2; }
+    long got = static_cast<long>(std::fread(buf, 1, size, f));
+    std::fclose(f);
+    if (got != size) { std::free(buf); return -3; }
+    buf[size] = '\0';
+
+    char* p = buf;
+    char* end = buf + size;
+    for (long l = 0; l < skip_lines && p < end; ++l) {
+        p = static_cast<char*>(std::memchr(p, '\n', end - p));
+        if (!p) { std::free(buf); return -3; }
+        ++p;
+    }
+
+    if (nthreads < 1) nthreads = 1;
+    long body = end - p;
+    if (nthreads == 1 || body < (1 << 20)) {
+        long k = parse_range(p, end, 0, nnz, rows, cols, vals);
+        std::free(buf);
+        return (k == nnz) ? 0 : -3;
+    }
+
+    // newline-aligned range boundaries
+    std::vector<char*> starts(nthreads + 1);
+    starts[0] = p;
+    starts[nthreads] = end;
+    for (int t = 1; t < nthreads; ++t) {
+        char* g = p + (body * t) / nthreads;
+        char* nl = static_cast<char*>(std::memchr(g, '\n', end - g));
+        starts[t] = nl ? nl + 1 : end;
+    }
+
+    // per-range line counts -> output offsets
+    std::vector<long> counts(nthreads, 0);
+    {
+        std::vector<std::thread> th;
+        for (int t = 0; t < nthreads; ++t) {
+            th.emplace_back([&, t] {
+                long c = 0;
+                char* q = starts[t];
+                while (q < starts[t + 1]) {
+                    char* nl = static_cast<char*>(
+                        std::memchr(q, '\n', starts[t + 1] - q));
+                    if (!nl) {
+                        // last partial line (no trailing newline)
+                        for (char* s = q; s < starts[t + 1]; ++s)
+                            if (*s > ' ') { ++c; break; }
+                        break;
+                    }
+                    ++c;
+                    q = nl + 1;
+                }
+                counts[t] = c;
+            });
+        }
+        for (auto& h : th) h.join();
+    }
+    std::vector<long> offs(nthreads + 1, 0);
+    for (int t = 0; t < nthreads; ++t) offs[t + 1] = offs[t] + counts[t];
+    if (offs[nthreads] != nnz) { std::free(buf); return -3; }
+
+    std::vector<long> done(nthreads, 0);
+    {
+        std::vector<std::thread> th;
+        for (int t = 0; t < nthreads; ++t) {
+            th.emplace_back([&, t] {
+                done[t] = parse_range(starts[t], starts[t + 1], offs[t],
+                                      offs[t + 1], rows, cols, vals);
+            });
+        }
+        for (auto& h : th) h.join();
+    }
+    std::free(buf);
+    for (int t = 0; t < nthreads; ++t)
+        if (done[t] != counts[t]) return -3;
     return 0;
 }
 
