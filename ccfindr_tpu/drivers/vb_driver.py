@@ -438,6 +438,9 @@ def vb_factorize(object, ranks=2, nrun=1, verbose=2,
                            jnp.zeros((nb,), dtype))
             out = jax.tree.map(np.asarray, out)
         timings.records[-1]["total_sweeps"] = int(out.n_iter.sum())
+        if np.asarray(out.hyper_failed).any():
+            print("Warning: hyperparameter update did not converge "
+                  "in some runs")   # reference raises, R/bayesian.R:43
         for k, rank in enumerate(ranks):
             for i in range(nrun):
                 if run_alive[i]:
@@ -507,6 +510,9 @@ def vb_factorize(object, ranks=2, nrun=1, verbose=2,
                            jnp.zeros((nrun,), dtype))
             out = jax.tree.map(np.asarray, out)
         timings.records[-1]["total_sweeps"] = int(out.n_iter.sum())
+        if np.asarray(out.hyper_failed).any():
+            print("Warning: hyperparameter update did not converge "
+                  "in some runs")   # reference raises, R/bayesian.R:43
 
         for i in range(nrun):
             if run_alive[i]:

@@ -223,3 +223,19 @@ def test_checkpoint_every_matches_uninterrupted(tmp_path):
     np.testing.assert_array_equal(a.measure["lml"], c.measure["lml"])
     for k in range(2):
         np.testing.assert_array_equal(a.basis[k], c.basis[k])
+
+
+def test_f32_f64_rank_selection_concordant():
+    """SURVEY §7.1 validation item: float32 (the TPU production dtype)
+    and float64 evidence profiles select the same optimal rank on
+    oracle data."""
+    import jax.numpy as jnp
+
+    sim = cf.simulate_whx(nrow=60, ncol=120, rank=4, seed=12)
+    s = cf.SCSet(count=sim["x"])
+    kw = dict(ranks=[2, 3, 4, 5, 6], nrun=2, verbose=0, Itmax=1500,
+              seed=3)
+    r64 = cf.optimal_rank(cf.vb_factorize(s, dtype=jnp.float64, **kw))
+    r32 = cf.optimal_rank(cf.vb_factorize(s, dtype=jnp.float32, **kw))
+    assert r64["ropt"] == 4
+    assert r32["ropt"] == r64["ropt"]
