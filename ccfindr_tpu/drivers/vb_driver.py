@@ -339,6 +339,12 @@ def vb_factorize(object, ranks=2, nrun=1, verbose=2,
     rdat = np.full((nrun, nrank), -np.inf)
     results = [[None] * nrank for _ in range(nrun)]
     run_alive = np.ones(nrun, dtype=bool)
+    # running per-rank connectivity mean across restarts (the
+    # reference INTENDS dispersion of the across-run mean — its code
+    # re-zeroes conav inside a single-run worker and divides by irun,
+    # R/bayesian.R:328-330,353-357, a latent bug; here the running
+    # mean is accumulated correctly)
+    conav_acc = {}
 
     def _record(out, b, i, k, rank):
         """Record one converged (run, rank) instance; returns False and
@@ -368,14 +374,18 @@ def vb_factorize(object, ranks=2, nrun=1, verbose=2,
                        ah=float(out.hyper.ah[b]),
                        bh=float(out.hyper.bh[b])),
             n_iter=int(out.n_iter[b]), nunif=nunif_i)
+        if connectivity:
+            cnn = cons.connectivity(h=eh)
+            acc, cnt = conav_acc.get(rank, (0.0, 0))
+            conav_acc[rank] = (acc + cnn, cnt + 1)
         if verbose >= 2:
             msg = (f"Rank = {rank}: Nsteps = {int(out.n_iter[b])}, "
                    f"log(evidence) = {lml:.6g}, hyper = "
                    f"({out.hyper.aw[b]:.4g},{out.hyper.bw[b]:.4g},"
                    f"{out.hyper.ah[b]:.4g},{out.hyper.bh[b]:.4g})")
             if connectivity:
-                cnn = cons.connectivity(h=eh)
-                disp = cons.dispersion(cnn, m)
+                acc, cnt = conav_acc[rank]
+                disp = cons.dispersion(acc / cnt, m)
                 msg += f", dispersion = {disp:.6g}"
             print(msg)
         return True
@@ -452,6 +462,11 @@ def vb_factorize(object, ranks=2, nrun=1, verbose=2,
     for k, rank in ranks_iter:
         if not run_alive.any():
             break
+        if verbose == 1:
+            # rank-scan progress for long sweeps (reference
+            # txtProgressBar, R/factorize.R:174-185); verbose>=2
+            # already prints per-rank detail lines
+            print(f"[{k + 1}/{nrank}] rank {rank} ...", flush=True)
         # keep the key stream identical whether or not ranks restore
         key, sub = jax.random.split(key)
         ckpt = _load_rank_ckpt(checkpoint_dir, rank)

@@ -19,15 +19,35 @@ from .container import SCSet, remove_zeros
 
 
 def _read_mtx_header(path: str):
-    """Returns (n, m, nnz, field, n_header_lines)."""
+    """Returns (n, m, nnz, field, symmetry, n_header_lines).
+
+    Count matrices are 'coordinate integer/real general', but
+    Matrix::readMM (the reference's parser, R/utils.R:34) also accepts
+    pattern and symmetric variants — handled here too.  'array'
+    format, 'complex' field and 'hermitian' symmetry are rejected by
+    name.
+    """
     with open(path, "rb") as f:
         header = f.readline().decode()
         if not header.startswith("%%MatrixMarket"):
             raise ValueError(f"{path} is not a MatrixMarket file")
-        parts = header.split()
-        if len(parts) < 4 or parts[2] != "coordinate":
-            raise ValueError(f"unsupported MatrixMarket header: {header!r}")
-        field = parts[3]
+        parts = header.lower().split()
+        if len(parts) < 5:
+            raise ValueError(f"malformed MatrixMarket header: {header!r}")
+        fmt, field, symmetry = parts[2], parts[3], parts[4]
+        if fmt != "coordinate":
+            raise ValueError(
+                f"{path}: MatrixMarket format {fmt!r} is not supported "
+                "(only 'coordinate'; dense 'array' files are not count "
+                "matrices)")
+        if field not in ("integer", "real", "pattern"):
+            raise ValueError(
+                f"{path}: MatrixMarket field {field!r} is not supported "
+                "(only integer/real/pattern)")
+        if symmetry not in ("general", "symmetric", "skew-symmetric"):
+            raise ValueError(
+                f"{path}: MatrixMarket symmetry {symmetry!r} is not "
+                "supported (only general/symmetric/skew-symmetric)")
         nlines = 1
         line = f.readline().decode()
         nlines += 1
@@ -35,7 +55,7 @@ def _read_mtx_header(path: str):
             line = f.readline().decode()
             nlines += 1
         n, m, nnz = (int(t) for t in line.split())
-    return n, m, nnz, field, nlines
+    return n, m, nnz, field, symmetry, nlines
 
 
 def read_mtx(path: str) -> sp.csr_matrix:
@@ -49,11 +69,11 @@ def read_mtx(path: str) -> sp.csr_matrix:
 
     from .native import get_lib
 
-    n, m, nnz, field, nlines = _read_mtx_header(path)
-    dtype = np.int64 if field == "integer" else np.float64
+    n, m, nnz, field, symmetry, nlines = _read_mtx_header(path)
+    dtype = np.int64 if field in ("integer", "pattern") else np.float64
 
     lib = get_lib()
-    if lib is not None:
+    if lib is not None and field != "pattern":
         import os
         rows = np.empty(nnz, np.int32)
         cols = np.empty(nnz, np.int32)
@@ -73,9 +93,9 @@ def read_mtx(path: str) -> sp.csr_matrix:
                 cols.ctypes.data_as(ctypes.POINTER(ctypes.c_int)),
                 vals.ctypes.data_as(ctypes.POINTER(ctypes.c_double)))
         if rc == 0:
-            return sp.coo_matrix((vals.astype(dtype), (rows, cols)),
-                                 shape=(n, m)).tocsr()
-    # pure-Python fallback
+            return _assemble_coo(vals.astype(dtype), rows, cols, n, m,
+                                 symmetry)
+    # pure-Python fallback (and the pattern-field path: 2 columns/line)
     with open(path, "rb") as f:
         for _ in range(nlines):
             f.readline()
@@ -87,7 +107,21 @@ def read_mtx(path: str) -> sp.csr_matrix:
                          f"got {data.shape[0]}")
     rows = data[:, 0].astype(np.int64) - 1
     cols = data[:, 1].astype(np.int64) - 1
-    vals = data[:, 2].astype(dtype)
+    if field == "pattern":
+        vals = np.ones(nnz, dtype)
+    else:
+        vals = data[:, 2].astype(dtype)
+    return _assemble_coo(vals, rows, cols, n, m, symmetry)
+
+
+def _assemble_coo(vals, rows, cols, n, m, symmetry) -> sp.csr_matrix:
+    """Expand symmetric storage (lower triangle) to the full matrix."""
+    if symmetry in ("symmetric", "skew-symmetric"):
+        off = rows != cols
+        sgn = -1 if symmetry == "skew-symmetric" else 1
+        rows, cols, vals = (np.concatenate([rows, cols[off]]),
+                            np.concatenate([cols, rows[off]]),
+                            np.concatenate([vals, sgn * vals[off]]))
     return sp.coo_matrix((vals, (rows, cols)), shape=(n, m)).tocsr()
 
 

@@ -27,14 +27,27 @@ MARKERS = {
 }
 
 
-def main(tenx_dir="/root/reference/inst/extdata"):
+def main(tenx_dir=None):
     t0 = time.time()
+    if tenx_dir is None:
+        # real PBMC when the reference mount exists, else the bundled
+        # synthetic analog (ccfindr_tpu/data) — self-contained
+        import os
+        ref = "/root/reference/inst/extdata"
+        if os.path.isdir(ref):
+            tenx_dir = ref
+        else:
+            from ccfindr_tpu.data import pbmc_sim_dir
+            tenx_dir = pbmc_sim_dir()
     s = cf.read_10x(tenx_dir)
     print(f"loaded {s.n_genes} genes x {s.n_cells} cells "
           f"({s.counts.nnz} nonzeros)")
 
-    # QC (vignette thresholds, ccfindR.Rmd:236-276)
-    s = cf.filter_cells(s, umi_min=300, umi_max=10000, plot=False)
+    # QC (vignette thresholds, ccfindR.Rmd:236-276; the bundled
+    # synthetic set has a tighter UMI distribution)
+    umi_min, umi_max = ((300, 10000) if "extdata" in tenx_dir
+                        else (700, 8000))
+    s = cf.filter_cells(s, umi_min=umi_min, umi_max=umi_max, plot=False)
     s = cf.filter_genes(s, vmr_min=1.2, min_cells_expressed=50,
                         plot=False)
     print(f"after QC: {s.n_genes} x {s.n_cells}")

@@ -38,5 +38,19 @@ def rng():
 
 
 @pytest.fixture(scope="session")
+def data_dir():
+    """Bundled synthetic PBMC-like 10x trio (self-contained; the
+    primary fixture — pytest must pass without any external mount)."""
+    from ccfindr_tpu.data import pbmc_sim_dir
+
+    return pbmc_sim_dir()
+
+
+@pytest.fixture(scope="session")
 def pbmc_dir():
-    return "/root/reference/inst/extdata"
+    """Real 10x PBMC subsample from the reference mount (optional:
+    scientific ground-truth cross-checks, skipped when absent)."""
+    p = "/root/reference/inst/extdata"
+    if not os.path.isdir(p):
+        pytest.skip("reference PBMC data mount not available")
+    return p

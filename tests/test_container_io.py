@@ -153,3 +153,29 @@ def test_checkpoint_roundtrip(tmp_path, rng):
     s2 = cf.load_checkpoint(s, path)
     np.testing.assert_allclose(s2.basis[0], s.basis[0])
     assert s2.measure["lml"][0] == -1.5
+
+
+def test_read_mtx_pattern_and_symmetric(tmp_path):
+    """MatrixMarket pattern/symmetric variants (Matrix::readMM parity,
+    reference R/utils.R:34)."""
+    import scipy.io as sio
+
+    p = tmp_path / "pat.mtx"
+    p.write_text("%%MatrixMarket matrix coordinate pattern general\n"
+                 "3 4 3\n1 1\n2 3\n3 4\n")
+    got = cf.read_mtx(str(p))
+    want = np.zeros((3, 4))
+    want[0, 0] = want[1, 2] = want[2, 3] = 1
+    np.testing.assert_array_equal(got.toarray(), want)
+
+    s = tmp_path / "sym.mtx"
+    s.write_text("%%MatrixMarket matrix coordinate integer symmetric\n"
+                 "3 3 4\n1 1 5\n2 1 2\n3 2 7\n3 3 1\n")
+    got = cf.read_mtx(str(s))
+    want = sio.mmread(str(s)).toarray()
+    np.testing.assert_array_equal(got.toarray(), want)
+
+    bad = tmp_path / "arr.mtx"
+    bad.write_text("%%MatrixMarket matrix array real general\n3 3\n")
+    with pytest.raises(ValueError, match="'array'"):
+        cf.read_mtx(str(bad))

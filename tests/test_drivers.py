@@ -239,3 +239,24 @@ def test_f32_f64_rank_selection_concordant():
     r32 = cf.optimal_rank(cf.vb_factorize(s, dtype=jnp.float32, **kw))
     assert r64["ropt"] == 4
     assert r32["ropt"] == r64["ropt"]
+
+
+def test_connectivity_running_mean_dispersion(capsys):
+    """connectivity=True reports dispersion of the ACROSS-RUN running
+    mean connectivity (the reference's intended semantics,
+    R/bayesian.R:353-357 — its own conav is re-zeroed per worker)."""
+    from ccfindr_tpu.ops import consensus as cons
+
+    sim = cf.simulate_whx(nrow=25, ncol=40, rank=3, seed=4)
+    s = cf.vb_factorize(cf.SCSet(count=sim["x"]), ranks=[3], nrun=3,
+                        verbose=2, Itmax=300, connectivity=True, seed=1)
+    outlines = [ln for ln in capsys.readouterr().out.splitlines()
+                if "dispersion" in ln]
+    assert len(outlines) == 3
+    # recompute the expected final running-mean dispersion from the
+    # three runs' H matrices is not possible post-hoc (only the best
+    # run is kept), but the reported values must be valid dispersions
+    vals = [float(ln.rsplit("=", 1)[1]) for ln in outlines]
+    assert all(0.0 <= v <= 1.0 for v in vals)
+    # first run's dispersion of a single 0/1 connectivity vector is 1
+    assert vals[0] == pytest.approx(1.0)

@@ -11,6 +11,18 @@ def test_native_lib_builds():
     assert get_lib() is not None, "native mmio failed to build"
 
 
+def test_native_read_matches_bundled(data_dir):
+    """Native parser vs scipy's reference parser on the bundled trio."""
+    import scipy.io as sio
+
+    path = data_dir + "/matrix.mtx"
+    mat = cf.read_mtx(path)
+    want = sio.mmread(path).tocsr()
+    assert mat.shape == want.shape
+    assert mat.nnz == want.nnz
+    np.testing.assert_array_equal(mat.toarray(), want.toarray())
+
+
 def test_native_read_matches_pbmc(pbmc_dir):
     mat = cf.read_mtx(pbmc_dir + "/matrix.mtx")
     assert mat.shape == (1030, 450)
@@ -69,7 +81,7 @@ def test_native_mt_parser_matches(tmp_path):
 
     # force the 1 << 20 size threshold branch too: direct mt call
     from ccfindr_tpu.io import _read_mtx_header
-    nn, mm, nnz, field, nlines = _read_mtx_header(path)
+    nn, mm, nnz, field, symmetry, nlines = _read_mtx_header(path)
     rows = np.empty(nnz, np.int32)
     cols = np.empty(nnz, np.int32)
     vals = np.empty(nnz, np.float64)
