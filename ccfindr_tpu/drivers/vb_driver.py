@@ -180,11 +180,20 @@ def _place_sharded(x, states, hypers, mesh):
     H-family cell-sharded, W-family replicated, restarts over 'runs'."""
     from jax.sharding import NamedSharding, PartitionSpec as P
 
+    from ..ops.sparse import SparseCounts
+
     axes = mesh.axis_names
     runs = "runs" if "runs" in axes else None
     cells = "cells" if "cells" in axes else None
 
-    x = jax.device_put(x, NamedSharding(mesh, P(None, cells)))
+    if isinstance(x, SparseCounts):
+        # sharded COO layout: leaf arrays are (n_shards, nnz_loc_pad),
+        # one shard of nonzeros per device on the 'cells' axis
+        x = jax.tree.map(
+            lambda a: jax.device_put(
+                a, NamedSharding(mesh, P(cells, None))), x)
+    else:
+        x = jax.device_put(x, NamedSharding(mesh, P(None, cells)))
     specs = dict(ew=P(runs, None, None), eh=P(runs, None, cells),
                  lw=P(runs, None, None), lh=P(runs, None, cells),
                  dw=P(runs, None, None), dh=P(runs, None, cells),
@@ -197,6 +206,99 @@ def _place_sharded(x, states, hypers, mesh):
     return x, states, hypers
 
 
+def _record_multihost(out, my_idx, ranks, nrun, m, Tol, unif_stop,
+                      verbose, nproc, pid, rdat, results, run_alive):
+    """Merge a multi-host batched run into the (rdat, results) tables.
+
+    Per-item log evidences and degeneracy counts are all-gathered so
+    every host applies the IDENTICAL rank-scan-abort and best-of-run
+    selection (reference semantics R/bayesian.R:268-291, 368-378);
+    only the winning factors are exchanged
+    (parallel.schedule.exchange_winner).
+    """
+    from ..parallel import schedule
+
+    nrank = len(ranks)
+    nb_all = nrank * nrun
+    n = out.state.ew.shape[1]
+
+    # local degeneracy counts (uniform basis columns at the TRUE rank)
+    nunif_loc = np.empty(len(my_idx))
+    for b, t in enumerate(np.asarray(my_idx)):
+        rank = ranks[int(t) // nrun]
+        ew = np.asarray(out.state.ew[b][:, :rank])
+        nunif_loc[b] = int(
+            ((ew.max(axis=0) - ew.min(axis=0)) < float(Tol)).sum())
+
+    lml_glob = schedule.gather_results(np.asarray(out.lml), my_idx,
+                                       nb_all, process_count=nproc)
+    nunif_glob = schedule.gather_results(nunif_loc, my_idx, nb_all,
+                                         fill=-1.0,
+                                         process_count=nproc)
+    niter_glob = schedule.gather_results(
+        np.asarray(out.n_iter, np.float64), my_idx, nb_all, fill=-1.0,
+        process_count=nproc)
+
+    # identical kill/record pass on every host
+    for k, rank in enumerate(ranks):
+        for i in range(nrun):
+            if not run_alive[i]:
+                continue
+            t = k * nrun + i
+            nunif_i = int(nunif_glob[t])
+            if nunif_i > 0:
+                if pid == 0:
+                    print(f"Warning: Rank {rank} has {nunif_i} "
+                          "constant column(s).")
+                if unif_stop:
+                    if pid == 0:
+                        print("Warning: Rank scan stopped for rank >= "
+                              f"{rank}")
+                    if k == 0:
+                        raise ValueError("Rerun with lower ranks")
+                    run_alive[i] = False
+                    continue
+            rdat[i, k] = lml_glob[t]
+
+    # exchange only each rank's winner
+    local_pos = {int(t): b for b, t in enumerate(np.asarray(my_idx))}
+    for k, rank in enumerate(ranks):
+        if not np.isfinite(rdat[:, k]).any():
+            continue
+        imax = int(np.argmax(rdat[:, k]))
+        t = k * nrun + imax
+        owner = t % nproc                   # round-robin partition
+        if owner == pid:
+            b = local_pos[t]
+            cand = dict(
+                ew=np.asarray(out.state.ew[b][:, :rank]),
+                eh=np.asarray(out.state.eh[b][:rank, :m]),
+                dw=np.asarray(out.state.dw[b][:, :rank]),
+                dh=np.asarray(out.state.dh[b][:rank, :m]),
+                hyper=np.asarray([out.hyper.aw[b], out.hyper.bw[b],
+                                  out.hyper.ah[b], out.hyper.bh[b]],
+                                 np.float64))
+        else:
+            cand = dict(ew=np.zeros((n, rank)),
+                        eh=np.zeros((rank, m)),
+                        dw=np.zeros((n, rank)),
+                        dh=np.zeros((rank, m)),
+                        hyper=np.zeros(4))
+        cand = schedule.exchange_winner(cand, owner == pid, owner,
+                                        process_count=nproc)
+        hy = cand["hyper"]
+        results[imax][k] = dict(
+            ew=cand["ew"], eh=cand["eh"], dw=cand["dw"],
+            dh=cand["dh"],
+            hyper=dict(aw=float(hy[0]), bw=float(hy[1]),
+                       ah=float(hy[2]), bh=float(hy[3])),
+            n_iter=int(niter_glob[t]), nunif=int(nunif_glob[t]))
+        if verbose >= 2 and pid == 0:
+            print(f"Rank = {rank}: best log(evidence) = "
+                  f"{rdat[imax, k]:.6g} (run {imax + 1}, host "
+                  f"{owner})")
+
+
 def vb_factorize(object, ranks=2, nrun=1, verbose=2,
                  initializer="random", Itmax=10000,
                  hyper_update=(True, True, True, True),
@@ -206,7 +308,9 @@ def vb_factorize(object, ranks=2, nrun=1, verbose=2,
                  dtype=None, seed=0, mesh=None, backend="dense",
                  batch_ranks="auto", checkpoint_dir=None,
                  checkpoint_every=None,
-                 suffstats=None, data_term=None):
+                 suffstats=None, data_term=None,
+                 distributed="auto",
+                 _process_count=None, _process_id=None):
     """Bayesian NMF inference of a count matrix.
 
     Parameters mirror the reference (R/bayesian.R:229-236) with
@@ -243,6 +347,21 @@ def vb_factorize(object, ranks=2, nrun=1, verbose=2,
     ``suffstats``/``data_term`` override the backend kernels directly.
     Returns a new :class:`SCSet` with ranks/basis/dbasis/coeff/dcoeff
     and the measure table (rank, lml, aw, bw, ah, bh, nunif) filled.
+
+    **Multi-host** (the TPU-native replacement for the reference's
+    Rmpi restart farm, R/bayesian.R:260-263): under a multi-process
+    JAX runtime (``jax.distributed.initialize`` on each host — pass
+    ``distributed=dict(coordinator_address=..., num_processes=...,
+    process_id=...)`` to let the driver call it), the (rank, run)
+    grid is round-robin partitioned across processes
+    (parallel.schedule.partition_items); each host runs its share as
+    one local batched sweep, per-item log evidences and degeneracy
+    flags are all-gathered, every host performs the identical
+    best-of-runs selection, and the winning factors are replicated
+    (parallel.schedule.exchange_winner).  The returned SCSet is
+    identical on every host, and identical to a single-host run with
+    the same seed.  ``distributed='auto'`` (default) detects the
+    process count; requires ``initializer='random'``.
     """
     if np.isscalar(ranks):
         ranks = [int(ranks)]
@@ -252,16 +371,48 @@ def vb_factorize(object, ranks=2, nrun=1, verbose=2,
     if initializer in ("svd", "svd2") and nrun > 1:
         raise ValueError("SVD initializer does not require nrun > 1")
 
+    if isinstance(distributed, dict):
+        from ..parallel.mesh import init_distributed
+        init_distributed(**distributed)
+        distributed = "auto"
+    if distributed in (False, None):
+        nproc, pid = 1, 0
+    else:
+        nproc = (_process_count if _process_count is not None
+                 else jax.process_count())
+        pid = (_process_id if _process_id is not None
+               else jax.process_index())
+    if nproc > 1:
+        if initializer != "random":
+            raise ValueError(
+                "multi-host vb_factorize requires initializer='random' "
+                "(the (rank, run) grid partitions over random restarts)")
+        batch_ranks = True
+
     if isinstance(object, SCSet):
         obj = object
     else:
         obj = SCSet(count=object, remove_zeros=False)
-    mat = _as_counts_matrix(obj, dtype)
-    n, m = mat.shape
-    if (mat.sum(axis=1) == 0).any():
-        raise ValueError("Input matrix contains empty rows")
-    if (mat.sum(axis=0) == 0).any():
-        raise ValueError("Input matrix contains empty columns")
+    if backend == "sparse":
+        # NO densification anywhere: guards, shapes and the device
+        # layout all come from the CSR (the reference densifies before
+        # every sweep, as.matrix at R/bayesian.R:339; its only
+        # no-densify precedent is the save.memory VMR,
+        # R/utils.R:197-218 — here the whole path stays sparse)
+        import scipy.sparse as sp
+        mat = sp.csr_matrix(obj.counts)
+        n, m = mat.shape
+        if (np.asarray(mat.sum(axis=1)).ravel() == 0).any():
+            raise ValueError("Input matrix contains empty rows")
+        if (np.asarray(mat.sum(axis=0)).ravel() == 0).any():
+            raise ValueError("Input matrix contains empty columns")
+    else:
+        mat = _as_counts_matrix(obj, dtype)
+        n, m = mat.shape
+        if (mat.sum(axis=1) == 0).any():
+            raise ValueError("Input matrix contains empty rows")
+        if (mat.sum(axis=0) == 0).any():
+            raise ValueError("Input matrix contains empty columns")
 
     ranks = [r for r in ranks if r <= m]
     for r in ranks:
@@ -289,7 +440,8 @@ def vb_factorize(object, ranks=2, nrun=1, verbose=2,
         ncells_ax = mesh.shape["cells"]
         m_pad = -(-m // ncells_ax) * ncells_ax
         if m_pad != m:
-            mat = np.pad(mat, ((0, 0), (0, m_pad - m)))
+            if backend != "sparse":
+                mat = np.pad(mat, ((0, 0), (0, m_pad - m)))
             cell_mask = jnp.asarray(
                 (np.arange(m_pad) < m).astype(np.dtype(dtype)))
             run_kwargs["cell_mask"] = cell_mask
@@ -319,13 +471,17 @@ def vb_factorize(object, ranks=2, nrun=1, verbose=2,
         run_kwargs["data_term"] = dt
     elif backend == "sparse":
         from ..ops import sparse as sk
-        if mesh is not None:
-            raise NotImplementedError(
-                "sparse backend + mesh sharding not yet supported")
-        import scipy.sparse as sp
-        src = object.counts if isinstance(object, SCSet) else mat
-        x = sk.from_scipy(sp.csr_matrix(src), dtype=dtype)
-        run_kwargs["fused"] = sk.make_sparse_fused()
+        if mesh is not None and "cells" in mesh.axis_names:
+            # cell-sharded COO: each device scans only its own cells'
+            # nonzeros; psum of the n x r suffstat partial + scalar
+            # ELBO (same collective pattern as the dense mesh path)
+            from ..parallel.sharded import make_sparse_fused_sharded
+            x = sk.from_scipy_sharded(mat, mesh.shape["cells"],
+                                      m_pad=m_pad, dtype=dtype)
+            run_kwargs["fused"] = make_sparse_fused_sharded(mesh)
+        else:
+            x = sk.from_scipy(mat, dtype=dtype)
+            run_kwargs["fused"] = sk.make_sparse_fused()
     else:
         raise ValueError(f"unknown backend {backend!r}")
     if suffstats is not None:
@@ -396,14 +552,25 @@ def vb_factorize(object, ranks=2, nrun=1, verbose=2,
                             or checkpoint_every is not None))
     if batch_ranks:
         # one vmapped batch over ALL (rank, run) instances, padded to
-        # max(ranks) with per-instance rank masks
+        # max(ranks) with per-instance rank masks; under multi-host,
+        # over THIS process's round-robin share of the instance grid
         if initializer != "random":
             raise ValueError("batch_ranks requires initializer='random'")
+        from ..parallel import schedule
         rmax_ = max(ranks)
-        nb = nrank * nrun
-        rank_arr = np.repeat(np.asarray(ranks, np.int64), nrun)
+        nb_all = nrank * nrun
+        rank_arr_all = np.repeat(np.asarray(ranks, np.int64), nrun)
         key, sub = jax.random.split(key)
-        keys = jax.random.split(sub, nb)
+        keys_all = jax.random.split(sub, nb_all)
+        my_idx = (schedule.partition_items(nb_all, nproc, pid)
+                  if nproc > 1 else np.arange(nb_all))
+        nb = len(my_idx)
+        if nb == 0:
+            raise ValueError(
+                f"{nproc} processes but only {nb_all} (rank, run) "
+                "items — reduce processes or increase nrun/ranks")
+        rank_arr = rank_arr_all[my_idx]
+        keys = keys_all[my_idx]
         h1 = Hyper(aw=aw0, bw=bw0, ah=ah0, bh=bh0)
         states = jax.vmap(
             lambda kk: vb_ops.vb_init_random(kk, n, m_pad, rmax_, h1,
@@ -435,7 +602,9 @@ def vb_factorize(object, ranks=2, nrun=1, verbose=2,
                            nrun=nrun):
             if checkpoint_every:
                 import os
-                ckf = (os.path.join(checkpoint_dir, "vb_sweeps_batch.npz")
+                ckname = ("vb_sweeps_batch.npz" if nproc == 1
+                          else f"vb_sweeps_batch_p{pid}.npz")
+                ckf = (os.path.join(checkpoint_dir, ckname)
                        if checkpoint_dir is not None else None)
                 if ckf is not None:
                     os.makedirs(checkpoint_dir, exist_ok=True)
@@ -451,10 +620,15 @@ def vb_factorize(object, ranks=2, nrun=1, verbose=2,
         if np.asarray(out.hyper_failed).any():
             print("Warning: hyperparameter update did not converge "
                   "in some runs")   # reference raises, R/bayesian.R:43
-        for k, rank in enumerate(ranks):
-            for i in range(nrun):
-                if run_alive[i]:
-                    _record(out, k * nrun + i, i, k, rank)
+        if nproc > 1:
+            _record_multihost(out, my_idx, ranks, nrun, m, Tol,
+                              unif_stop, verbose, nproc, pid, rdat,
+                              results, run_alive)
+        else:
+            for k, rank in enumerate(ranks):
+                for i in range(nrun):
+                    if run_alive[i]:
+                        _record(out, k * nrun + i, i, k, rank)
         ranks_iter = []
     else:
         ranks_iter = list(enumerate(ranks))

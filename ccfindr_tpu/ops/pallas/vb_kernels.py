@@ -220,28 +220,45 @@ def elbo_data_pallas(x, lw, lh, bn: int = DEFAULT_BN,
 # ---------------------------------------------------------------------
 # Fused single-pass kernel: suffstats + ELBO data term
 # ---------------------------------------------------------------------
+#
+# The ELBO data term folds into the sufficient statistics already
+# being computed (bilinearity):
+#
+#   sum_ij x (S/wth)      with  S = (lw log lw)@lh + lw@(lh log lh)
+#     = sum_ik swn_ik (lw log lw)_ik + sum_kj shn_kj (lh log lh)_kj
+#
+# since swn = (x/wth)@lh^T and shn = lw^T@(x/wth).  So the kernel only
+# needs THREE GEMMs per X tile (wth, swn, shn) plus the elementwise
+# xlog = sum x*log(wth); the rank-space reductions happen outside in
+# XLA.  (Round 1's kernel issued five GEMMs per tile; the reference
+# recomputes S as two dense n x m GEMMs every sweep,
+# src/vbnmf_update.cpp:74-79.)
 
-def _fused_kernel(x_ref, lw_ref, lwl_ref, lh_ref, lhl_ref,
-                  swn_ref, shn_ref, acc_ref, *, bn):
-    """One pass over an X tile: five GEMMs sharing wth and x/wth.
+def fold_dterm(swn, shn, lw, lh, xlog):
+    """Complete the ELBO data term from the kernel outputs:
+    -sum x*(S/wth - log wth) = -(sum swn*lwlogw + sum shn*lhlogh)
+    + xlog."""
+    return (-(jnp.sum(swn * (lw * jnp.log(lw)))
+              + jnp.sum(shn * (lh * jnp.log(lh)))) + xlog)
 
-    Grid is (nj, ni) with the GENE tile i innermost: shn's output
-    block (0, j) is revisited consecutively across i and accumulates
-    in VMEM; swn is a full-array output block (constant index), also
-    VMEM-resident, with rows accumulated via dynamic slices; the
-    scalar ELBO term accumulates in SMEM.  lw/lwl stay fully resident
-    (n x r_pad, a few MB for n <= ~50k genes).
+
+def _fused_cm_kernel(x_ref, lw_ref, lh_ref, swn_ref, shn_ref, acc_ref):
+    """Cell-major fused kernel: grid (nj, ni), gene tile i innermost.
+
+    shn's output block (0, j) is revisited consecutively across i and
+    accumulates in VMEM; swn is a full-array output block (constant
+    index), VMEM-resident (physical footprint n x 128 lanes — use the
+    gene-major variant when n is large); the scalar xlog accumulates
+    in SMEM; lw streams per gene tile.
     """
     j = pl.program_id(0)
     i = pl.program_id(1)
     acc_t = jnp.promote_types(x_ref.dtype, jnp.float32)
-    lw = lw_ref[pl.ds(i * bn, bn), :]
-    lwl = lwl_ref[pl.ds(i * bn, bn), :]
+    lw = lw_ref[...]
     lh = lh_ref[...]
-    lhl = lhl_ref[...]
-    x = x_ref[...]
+    x = x_ref[...].astype(lw.dtype)
     wth = jnp.dot(lw, lh, preferred_element_type=acc_t)
-    a = (x / wth).astype(lw.dtype)
+    u = (x / wth).astype(lw.dtype)
 
     @pl.when((i == 0) & (j == 0))
     def _():
@@ -252,51 +269,107 @@ def _fused_kernel(x_ref, lw_ref, lwl_ref, lh_ref, lhl_ref,
     def _():
         shn_ref[...] = jnp.zeros_like(shn_ref)
 
+    bn = lw_ref.shape[0]
     swn_ref[pl.ds(i * bn, bn), :] += jnp.dot(
-        a, lh.T, preferred_element_type=acc_t).astype(swn_ref.dtype)
-    shn_ref[...] += jnp.dot(lw.T, a, preferred_element_type=acc_t
+        u, lh.T, preferred_element_type=acc_t).astype(swn_ref.dtype)
+    shn_ref[...] += jnp.dot(lw.T, u, preferred_element_type=acc_t
                             ).astype(shn_ref.dtype)
-    s = (jnp.dot(lwl, lh, preferred_element_type=acc_t)
-         + jnp.dot(lw, lhl, preferred_element_type=acc_t))
-    t = x * (s / wth - jnp.log(wth))
-    acc_ref[0, 0] += -jnp.sum(t).astype(acc_ref.dtype)
+    acc_ref[0, 0] += jnp.sum(x * jnp.log(wth)).astype(acc_ref.dtype)
 
 
-@functools.partial(jax.jit, static_argnames=("n", "m", "r", "bn", "bm"))
-def fused_pallas_padded(x_pad, lw, lh, *, n, m, r, bn, bm):
+def _fused_gm_kernel(x_ref, lw_ref, lh_ref, swn_ref, shn_ref, acc_ref):
+    """Gene-major fused kernel: grid (ni, nj), cell tile j innermost.
+
+    Dual of the cell-major variant for LARGE GENE PANELS: swn's block
+    (i, 0) is revisited consecutively across j; shn is the full-array
+    VMEM-resident accumulator (physical footprint rp x m — bounded by
+    the local cell count, which the mesh shards).  Lets the fused
+    backend run at n = 100k+ genes where the cell-major swn residency
+    would exceed VMEM.
+    """
+    i = pl.program_id(0)
+    j = pl.program_id(1)
+    acc_t = jnp.promote_types(x_ref.dtype, jnp.float32)
+    lw = lw_ref[...]
+    lh = lh_ref[...]
+    x = x_ref[...].astype(lw.dtype)
+    wth = jnp.dot(lw, lh, preferred_element_type=acc_t)
+    u = (x / wth).astype(lw.dtype)
+
+    @pl.when((i == 0) & (j == 0))
+    def _():
+        shn_ref[...] = jnp.zeros_like(shn_ref)
+        acc_ref[0, 0] = jnp.zeros((), acc_ref.dtype)
+
+    @pl.when(j == 0)
+    def _():
+        swn_ref[...] = jnp.zeros_like(swn_ref)
+
+    bm = lh_ref.shape[1]
+    swn_ref[...] += jnp.dot(u, lh.T, preferred_element_type=acc_t
+                            ).astype(swn_ref.dtype)
+    shn_ref[:, pl.ds(j * bm, bm)] += jnp.dot(
+        lw.T, u, preferred_element_type=acc_t).astype(shn_ref.dtype)
+    acc_ref[0, 0] += jnp.sum(x * jnp.log(wth)).astype(acc_ref.dtype)
+
+
+def _fused_layout(np_, mp_, rp_, itemsize=4):
+    """'cm' (cell-major) unless swn's VMEM residency (n x 128 lanes
+    physical) is the binding constraint and the gene-major shn
+    residency fits."""
+    budget = 10 * 2 ** 20
+    cm_resident = np_ * max(rp_, 128) * itemsize
+    gm_resident = max(rp_, 8) * mp_ * itemsize
+    if cm_resident <= budget or cm_resident <= gm_resident:
+        return "cm"
+    return "gm"
+
+
+@functools.partial(jax.jit, static_argnames=("n", "m", "r", "bn", "bm",
+                                             "layout"))
+def fused_pallas_padded(x_pad, lw, lh, *, n, m, r, bn, bm,
+                        layout=None):
     np_, mp_ = x_pad.shape
-    rp_ = _round_up(max(r, 8), 128)
+    rp_ = _round_up(max(r, 8), 8)
     lw_p, lh_p = _pad_factors(lw, lh, np_, mp_, rp_)
-    # padded factor entries are 0 or 1 -> define l*log(l) = 0 there
-    lwl = jnp.where(lw_p > 0, lw_p * jnp.log(
-        jnp.where(lw_p > 0, lw_p, 1.0)), 0.0).astype(lw_p.dtype)
-    lhl = jnp.where(lh_p > 0, lh_p * jnp.log(
-        jnp.where(lh_p > 0, lh_p, 1.0)), 0.0).astype(lh_p.dtype)
     ni, nj = np_ // bn, mp_ // bm
     acc_t = jnp.promote_types(x_pad.dtype, jnp.float32)
+    if layout is None:
+        layout = _fused_layout(np_, mp_, rp_)
+
+    if layout == "cm":
+        kernel, grid = _fused_cm_kernel, (nj, ni)
+        x_idx = lambda j, i: (i, j)      # noqa: E731
+        lw_idx = lambda j, i: (i, 0)     # noqa: E731
+        lh_idx = lambda j, i: (0, j)     # noqa: E731
+        swn_spec = pl.BlockSpec((np_, rp_), lambda j, i: (0, 0),
+                                memory_space=pltpu.VMEM)
+        shn_spec = pl.BlockSpec((rp_, bm), lambda j, i: (0, j),
+                                memory_space=pltpu.VMEM)
+        acc_idx = lambda j, i: (0, 0)    # noqa: E731
+    else:
+        kernel, grid = _fused_gm_kernel, (ni, nj)
+        x_idx = lambda i, j: (i, j)      # noqa: E731
+        lw_idx = lambda i, j: (i, 0)     # noqa: E731
+        lh_idx = lambda i, j: (0, j)     # noqa: E731
+        swn_spec = pl.BlockSpec((bn, rp_), lambda i, j: (i, 0),
+                                memory_space=pltpu.VMEM)
+        shn_spec = pl.BlockSpec((rp_, mp_), lambda i, j: (0, 0),
+                                memory_space=pltpu.VMEM)
+        acc_idx = lambda i, j: (0, 0)    # noqa: E731
 
     swn, shn, acc = pl.pallas_call(
-        functools.partial(_fused_kernel, bn=bn),
-        grid=(nj, ni),
+        kernel,
+        grid=grid,
         in_specs=[
-            pl.BlockSpec((bn, bm), lambda j, i: (i, j),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((np_, rp_), lambda j, i: (0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((np_, rp_), lambda j, i: (0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((rp_, bm), lambda j, i: (0, j),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((rp_, bm), lambda j, i: (0, j),
-                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((bn, bm), x_idx, memory_space=pltpu.VMEM),
+            pl.BlockSpec((bn, rp_), lw_idx, memory_space=pltpu.VMEM),
+            pl.BlockSpec((rp_, bm), lh_idx, memory_space=pltpu.VMEM),
         ],
         out_specs=[
-            pl.BlockSpec((np_, rp_), lambda j, i: (0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((rp_, bm), lambda j, i: (0, j),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1), lambda j, i: (0, 0),
-                         memory_space=pltpu.SMEM),
+            swn_spec,
+            shn_spec,
+            pl.BlockSpec((1, 1), acc_idx, memory_space=pltpu.SMEM),
         ],
         out_shape=[
             jax.ShapeDtypeStruct((np_, rp_), acc_t),
@@ -304,27 +377,30 @@ def fused_pallas_padded(x_pad, lw, lh, *, n, m, r, bn, bm):
             jax.ShapeDtypeStruct((1, 1), acc_t),
         ],
         cost_estimate=pl.CostEstimate(
-            flops=2 * 5 * np_ * mp_ * rp_,
+            flops=2 * 3 * np_ * mp_ * rp_,
             bytes_accessed=np_ * mp_ * x_pad.dtype.itemsize,
             transcendentals=np_ * mp_,
         ),
         interpret=_interpret(),
-    )(x_pad, lw_p, lwl, lh_p, lhl)
+    )(x_pad, lw_p, lh_p)
 
-    return (swn[:n, :r].astype(lw.dtype),
-            shn[:r, :m].astype(lh.dtype),
-            acc[0, 0].astype(lw.dtype))
+    swn = swn[:n, :r].astype(lw.dtype)
+    shn = shn[:r, :m].astype(lh.dtype)
+    dterm = fold_dterm(swn, shn, lw, lh, acc[0, 0].astype(lw.dtype))
+    return swn, shn, dterm
 
 
-def fused_pallas(x, lw, lh, bn: int = DEFAULT_BN, bm: int = DEFAULT_BM):
+def fused_pallas(x, lw, lh, bn: int = DEFAULT_BN, bm: int = DEFAULT_BM,
+                 layout=None):
     """Single-pass fused backend for ops.vb.vb_run(fused=...): returns
     (swn, shn, dterm) — suffstat numerators (sw = lw*swn, sh = lh*shn)
-    plus the ELBO data term for the SAME (lw, lh), reading X once."""
+    plus the ELBO data term for the SAME (lw, lh), reading X once with
+    three GEMMs per tile."""
     n, r = lw.shape
     m = lh.shape[1]
     x_pad = pad_matrix(x, bn, bm)
     return fused_pallas_padded(x_pad, lw, lh, n=n, m=m, r=r,
-                               bn=bn, bm=bm)
+                               bn=bn, bm=bm, layout=layout)
 
 
 def make_fused_backend(bn: int = DEFAULT_BN, bm: int = DEFAULT_BM):

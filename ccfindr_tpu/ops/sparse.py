@@ -84,6 +84,57 @@ def from_dense(x, dtype=jnp.float32, chunk: int = 1 << 16
                       chunk=chunk)
 
 
+def from_scipy_sharded(mat, n_shards: int, m_pad: int | None = None,
+                       dtype=jnp.float32, chunk: int = 1 << 16
+                       ) -> SparseCounts:
+    """Cell-sharded COO: nonzeros partitioned by equal cell ranges.
+
+    Returns a SparseCounts whose row/col/val arrays have shape
+    (n_shards, nnz_loc_pad) — axis 0 is laid out over the mesh's
+    'cells' axis (one shard's nonzeros per device, column indices
+    LOCAL to the shard) — and whose ``m`` is the LOCAL cell count
+    m_pad // n_shards.  Each shard pads to the max local nnz (chunk
+    multiple) with dummy coordinates (n, m_local) scattering into the
+    discard slot, exactly like :func:`from_scipy`.
+
+    The TPU-native replacement for the reference's whole-matrix
+    densification + serialization to every MPI worker
+    (R/bayesian.R:262-263, as.matrix at :339): each device holds only
+    its cells' nonzeros; per-sweep communication is the psum of the
+    n x r suffstat partial and the scalar ELBO term
+    (parallel.sharded.make_sparse_fused_sharded).
+    """
+    import scipy.sparse as sp
+
+    csc = sp.csc_matrix(mat)
+    n, m = csc.shape
+    if m_pad is None:
+        m_pad = -(-m // n_shards) * n_shards
+    if m_pad % n_shards != 0:
+        raise ValueError(f"m_pad={m_pad} not divisible by {n_shards}")
+    m_loc = m_pad // n_shards
+    np_dtype = np.dtype(dtype)
+
+    locs = []
+    for s in range(n_shards):
+        j0, j1 = s * m_loc, min((s + 1) * m_loc, m)
+        block = sp.coo_matrix(csc[:, j0:max(j1, j0)])
+        locs.append((block.row.astype(np.int32),
+                     block.col.astype(np.int32),
+                     block.data.astype(np_dtype)))
+    nnz_pad = -(-max(max(len(r) for r, _, _ in locs), 1) // chunk) \
+        * chunk
+    rows = np.full((n_shards, nnz_pad), n, np.int32)
+    cols = np.full((n_shards, nnz_pad), m_loc, np.int32)
+    vals = np.zeros((n_shards, nnz_pad), np_dtype)
+    for s, (r, c, v) in enumerate(locs):
+        rows[s, : len(r)] = r
+        cols[s, : len(c)] = c
+        vals[s, : len(v)] = v
+    return SparseCounts(row=jnp.asarray(rows), col=jnp.asarray(cols),
+                        val=jnp.asarray(vals), n=n, m=m_loc)
+
+
 def lgamma_term(sc: SparseCounts):
     """sum_ij lgamma(x_ij + 1) — only nonzeros contribute."""
     return jnp.sum(gammaln(sc.val + 1.0))
@@ -165,17 +216,17 @@ def fused_coo(sc: SparseCounts, lw, lh, chunk: int = 1 << 16):
     """Single-scan fused backend: suffstat numerators AND the ELBO data
     term for the same (lw, lh) — one pass over the nonzeros instead of
     two (the sparse analog of ops.pallas.fused_pallas, for
-    vb_run(fused=...))."""
+    vb_run(fused=...)).
+
+    The S-dependent ELBO part folds into the suffstats (bilinearity,
+    see ops.pallas.vb_kernels.fold_dterm), so the scan body only
+    gathers lw/lh — no lw*log(lw)/lh*log(lh) gathers.
+    """
     r = lw.shape[1]
     n, m = sc.n, sc.m
-    lwl = lw * jnp.log(lw)
-    lhl = lh * jnp.log(lh)
     lw_x = jnp.concatenate([lw, jnp.zeros((1, r), lw.dtype)])
-    lwl_x = jnp.concatenate([lwl, jnp.zeros((1, r), lw.dtype)])
     lh_t = jnp.concatenate([lh, jnp.zeros((r, 1), lh.dtype)],
                            axis=1).T
-    lhl_t = jnp.concatenate([lhl, jnp.zeros((r, 1), lh.dtype)],
-                            axis=1).T
 
     nchunks = sc.row.shape[0] // chunk
     rows = sc.row.reshape(nchunks, chunk)
@@ -183,7 +234,7 @@ def fused_coo(sc: SparseCounts, lw, lh, chunk: int = 1 << 16):
     vals = sc.val.reshape(nchunks, chunk)
 
     def body(carry, inp):
-        swn, shn, acc = carry
+        swn, shn, xlog = carry
         rr, cc, vv = inp
         lw_g = lw_x[rr]                    # (chunk, r)
         lh_g = lh_t[cc]                    # (chunk, r)
@@ -192,17 +243,20 @@ def fused_coo(sc: SparseCounts, lw, lh, chunk: int = 1 << 16):
         a = jnp.where(vv > 0, vv / safe, 0.0)
         swn = swn.at[rr].add(a[:, None] * lh_g)
         shn = shn.at[cc].add(a[:, None] * lw_g)
-        s = (jnp.sum(lwl_x[rr] * lh_g, axis=1)
-             + jnp.sum(lw_g * lhl_t[cc], axis=1))
-        t = jnp.where(vv > 0, vv * (s / safe - jnp.log(safe)), 0.0)
-        return (swn, shn, acc - jnp.sum(t)), None
+        xlog = xlog + jnp.sum(jnp.where(vv > 0, vv * jnp.log(safe),
+                                        0.0))
+        return (swn, shn, xlog), None
 
     swn0 = jnp.zeros((n + 1, r), lw.dtype)
     shn0 = jnp.zeros((m + 1, r), lh.dtype)
-    (swn, shn, acc), _ = lax.scan(
+    (swn, shn, xlog), _ = lax.scan(
         body, (swn0, shn0, jnp.zeros((), lw.dtype)),
         (rows, cols, vals))
-    return swn[:n], shn[:m].T, acc
+    swn = swn[:n]
+    shn = shn[:m].T
+    dterm = (-(jnp.sum(swn * (lw * jnp.log(lw)))
+               + jnp.sum(shn * (lh * jnp.log(lh)))) + xlog)
+    return swn, shn, dterm
 
 
 def make_sparse_fused(chunk: int = 1 << 16):

@@ -81,15 +81,22 @@ def suffstats_dense(x, lw, lh):
 
 def elbo_data_term(x, lw, lh):
     """Data-dependent ELBO term  -sum x*(S/wth - log wth)  with
-    S = (lw log lw)@lh + lw@(lh log lh)."""
+    S = (lw log lw)@lh + lw@(lh log lh).
+
+    Computed in the FOLDED form (bilinearity):
+    sum x*S/wth = sum ((x/wth)@lh^T)*(lw log lw)
+                + sum (lw^T@(x/wth))*(lh log lh),
+    which shares its GEMMs with the sufficient statistics — the same
+    expression the fused backends use, so the eager and fused loops
+    stay bit-identical."""
     acc = jnp.promote_types(x.dtype, jnp.float32)
-    wth = lax.dot(lw, lh, precision=lax.Precision.HIGHEST,
+    dot = partial(lax.dot, precision=lax.Precision.HIGHEST,
                   preferred_element_type=acc)
-    s = (lax.dot(lw * jnp.log(lw), lh, precision=lax.Precision.HIGHEST,
-                 preferred_element_type=acc)
-         + lax.dot(lw, lh * jnp.log(lh), precision=lax.Precision.HIGHEST,
-                   preferred_element_type=acc))
-    return -jnp.sum(x * (s / wth - jnp.log(wth)))
+    wth = dot(lw, lh)
+    u = x / wth
+    return (-(jnp.sum(dot(u, lh.T) * (lw * jnp.log(lw)))
+              + jnp.sum(dot(lw.T, u) * (lh * jnp.log(lh))))
+            + jnp.sum(x * jnp.log(wth)))
 
 
 def posterior_update(sw, sh, state: VBState, hyper: Hyper, fudge, lgx,
@@ -175,7 +182,10 @@ def fused_dense(x, lw, lh):
     term for the same (lw, lh), sharing wth = lw@lh and x/wth.
 
     Returns (swn, shn, dterm) with sw = lw*swn, sh = lh*shn,
-    dterm = -sum x*(S/wth - log wth).  See vb_run(fused=...).
+    dterm = -sum x*(S/wth - log wth).  The S-dependent part folds into
+    the suffstats by bilinearity (THREE GEMMs instead of five):
+    sum x*S/wth = sum swn*(lw log lw) + sum shn*(lh log lh).
+    See vb_run(fused=...).
     """
     acc = jnp.promote_types(x.dtype, jnp.float32)
     dot = partial(lax.dot, precision=lax.Precision.HIGHEST,
@@ -184,8 +194,9 @@ def fused_dense(x, lw, lh):
     a = x / wth
     swn = dot(a, lh.T)
     shn = dot(lw.T, a)
-    s = dot(lw * jnp.log(lw), lh) + dot(lw, lh * jnp.log(lh))
-    dterm = -jnp.sum(x * (s / wth - jnp.log(wth)))
+    dterm = (-(jnp.sum(swn * (lw * jnp.log(lw)))
+               + jnp.sum(shn * (lh * jnp.log(lh))))
+             + jnp.sum(x * jnp.log(wth)))
     return swn, shn, dterm
 
 
@@ -339,16 +350,26 @@ def vb_init_svd(x, rank, hyper: Hyper, variant: str = "svd2",
     (reference R/bayesian.R:150-159).
     """
     import numpy as np
+    import scipy.sparse as sp
     import scipy.sparse.linalg as spla
 
-    x = np.asarray(x, dtype=np.float64)
+    sparse_in = sp.issparse(x)
+    if sparse_in:
+        x = sp.csr_matrix(x).astype(np.float64)
+    else:
+        x = np.asarray(x, dtype=np.float64)
     n, m = x.shape
-    if variant == "svd2" and min(n, m) / 2 > rank:
+    if min(n, m) / 2 > rank:
+        # truncated Lanczos SVD (irlba-equivalent) — both variants
+        # only consume the top-`rank` triplet, so sparse inputs never
+        # densify (reference uses irlba only for svd2,
+        # R/bayesian.R:152-156)
         u, s, vt = spla.svds(x, k=rank)
         order = np.argsort(-s)
         u, s, vt = u[:, order], s[order], vt[order]
     else:
-        u, s, vt = np.linalg.svd(x, full_matrices=False)
+        xd = x.toarray() if sparse_in else x
+        u, s, vt = np.linalg.svd(xd, full_matrices=False)
         u, s, vt = u[:, :rank], s[:rank], vt[:rank]
 
     if variant == "svd":

@@ -34,19 +34,52 @@ def rank_run_grid(ranks, nrun: int) -> list[tuple[int, int]]:
 
 
 def gather_results(local_values: np.ndarray, local_idx: np.ndarray,
-                   n_items: int):
+                   n_items: int, fill=-np.inf, process_count=None):
     """All-gather scalar per-item results across processes.
 
     Single-process: scatter local values into the global slots.
-    Multi-process: uses jax.experimental.multihost_utils.
+    Multi-process: uses jax.experimental.multihost_utils.  Every item
+    is owned by exactly one process (partition_items), so elementwise
+    max over the gathered (procs, n_items) table reconstructs the full
+    vector; ``fill`` must therefore be below any real value.
     """
     import jax
 
-    out = np.full(n_items, -np.inf)
-    out[local_idx] = local_values
-    if jax.process_count() == 1:
+    if process_count is None:
+        process_count = jax.process_count()
+    out = np.full(n_items, fill, dtype=np.float64)
+    out[np.asarray(local_idx, dtype=np.int64)] = local_values
+    if process_count == 1:
         return out
+    gathered = _allgather(out)             # (procs, n_items)
+    return np.max(gathered, axis=0)
+
+
+def _allgather(arr: np.ndarray) -> np.ndarray:
+    """process_allgather seam (monkeypatchable in single-process
+    tests)."""
     from jax.experimental import multihost_utils
 
-    gathered = multihost_utils.process_allgather(out)  # (procs, n_items)
-    return np.max(np.asarray(gathered), axis=0)
+    return np.asarray(multihost_utils.process_allgather(
+        np.asarray(arr)))
+
+
+def exchange_winner(tree_or_zeros, is_owner: bool, owner: int,
+                    process_count=None):
+    """Replicate the winning (best-ELBO) factors to every host.
+
+    Each host passes SAME-SHAPED arrays (its candidate if ``is_owner``
+    else zeros); a process_allgather + owner-row selection makes the
+    result identical everywhere — the TPU-native analog of
+    Rmpi gathering worker results to the driver
+    (reference R/bayesian.R:262-268).
+    """
+    import jax
+
+    if process_count is None:
+        process_count = jax.process_count()
+    if process_count == 1:
+        return tree_or_zeros
+    import jax.numpy  # noqa: F401
+
+    return jax.tree.map(lambda a: _allgather(a)[owner], tree_or_zeros)

@@ -72,3 +72,34 @@ def make_fused_sharded(mesh: Mesh, fused_local=None,
                  in_specs=(P(None, "cells"), P(None, None),
                            P(None, "cells")),
                  out_specs=(P(None, None), P(None, "cells"), P()))
+
+
+def make_sparse_fused_sharded(mesh: Mesh, chunk: int = 1 << 16):
+    """Fused sparse backend for ops.vb.vb_run(fused=...) over a
+    cell-sharded mesh — NO dense X anywhere.
+
+    ``x`` is an ops.sparse.SparseCounts built by
+    ``from_scipy_sharded(csr, mesh.shape['cells'])``: row/col/val of
+    shape (n_shards, nnz_loc_pad) sharded on axis 0 over 'cells', with
+    LOCAL column indices.  Each device scans only its own cells'
+    nonzeros; the collectives are identical to the dense sharded path
+    (psum of the n x r suffstat partial and the scalar ELBO term —
+    the fold of the partial swn against lw*log(lw) commutes with the
+    psum by linearity).
+    """
+    from ..ops import sparse as sk
+
+    def local(x, lw, lh):
+        sc = sk.SparseCounts(row=x.row[0], col=x.col[0], val=x.val[0],
+                             n=x.n, m=x.m)
+        swn, shn, dterm = sk.fused_coo(sc, lw, lh, chunk=chunk)
+        swn = jax.lax.psum(swn, "cells")
+        dterm = jax.lax.psum(dterm, "cells")
+        return swn, shn, dterm
+
+    # P('cells') as a tree-prefix leaf applies to every SparseCounts
+    # array leaf (row/col/val, all sharded on axis 0)
+    return _smap(local, mesh,
+                 in_specs=(P("cells"), P(None, None),
+                           P(None, "cells")),
+                 out_specs=(P(None, None), P(None, "cells"), P()))

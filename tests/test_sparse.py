@@ -134,3 +134,87 @@ def test_fused_coo_matches_twopass():
     np.testing.assert_allclose(np.asarray(shn), np.asarray(shn_d),
                                rtol=1e-9)
     np.testing.assert_allclose(float(dt), float(dt_d), rtol=1e-9)
+
+
+def test_vb_factorize_sparse_never_densifies(monkeypatch):
+    """backend='sparse' must not materialize a dense X anywhere in the
+    driver (VERDICT r1: the 20k x 1M atlas must not allocate 80 GB on
+    the host before the sparse path starts)."""
+    sim = cf.simulate_whx(nrow=25, ncol=40, rank=3, seed=21)
+    s = cf.SCSet(count=sp.csr_matrix(sim["x"]))
+
+    def boom(*a, **k):
+        raise AssertionError("dense materialization in sparse path")
+
+    monkeypatch.setattr(cf.SCSet, "counts_dense", boom)
+    monkeypatch.setattr(sp.csr_matrix, "toarray", boom)
+    monkeypatch.setattr(sp.csr_matrix, "todense", boom)
+    out = cf.vb_factorize(s, ranks=[2, 3], nrun=2, verbose=0,
+                          Itmax=300, seed=3, backend="sparse")
+    assert out.ranks == [2, 3]
+    assert np.isfinite(out.measure["lml"]).all()
+
+
+def test_vb_factorize_sparse_mesh_matches_single():
+    """sparse x mesh: cell-sharded COO + psum collectives reproduces
+    the single-device sparse run.  Cell count divisible by the mesh
+    axis -> identical init streams, so lml agrees at float-reorder
+    tolerance and hard assignments agree exactly."""
+    import jax
+
+    assert len(jax.devices()) == 8
+    mesh = cf.make_mesh(runs=2, cells=4)
+    sim = cf.simulate_whx(nrow=20, ncol=40, rank=3, aw=1.0, ah=1.0,
+                          bw=2.0, bh=2.0, seed=45)
+    x = sim["x"][:, :32]
+    x = x[x.sum(axis=1) > 0]
+    s = cf.SCSet(count=sp.csr_matrix(x))
+    assert s.n_cells == 32
+    a = cf.vb_factorize(s, ranks=[2, 3], nrun=2, verbose=0, Itmax=300,
+                        seed=9, backend="sparse")
+    b = cf.vb_factorize(s, ranks=[2, 3], nrun=2, verbose=0, Itmax=300,
+                        seed=9, backend="sparse", mesh=mesh)
+    np.testing.assert_allclose(a.measure["lml"], b.measure["lml"],
+                               rtol=1e-3)
+    for k in range(2):
+        assert b.coeff[k].shape == a.coeff[k].shape
+        cid_a = np.argmax(a.coeff[k], axis=0)
+        cid_b = np.argmax(b.coeff[k], axis=0)
+        np.testing.assert_array_equal(cid_a, cid_b)
+
+
+def test_vb_factorize_sparse_mesh_cell_padding():
+    """sparse x mesh with a non-divisible cell count: the padded cells
+    are masked out (no dense X, padded coeff columns sliced off) and
+    the planted structure is still recovered."""
+    import jax
+
+    assert len(jax.devices()) == 8
+    mesh = cf.make_mesh(runs=2, cells=4)
+    sim = cf.simulate_whx(nrow=20, ncol=33, rank=3, seed=45)
+    s = cf.SCSet(count=sp.csr_matrix(sim["x"]))
+    b = cf.vb_factorize(s, ranks=3, nrun=2, verbose=0, Itmax=300,
+                        seed=9, backend="sparse", mesh=mesh)
+    assert b.coeff[0].shape == (3, s.n_cells)
+    assert np.isfinite(b.measure["lml"]).all()
+    # full-rank solution is non-degenerate
+    assert b.measure["nunif"].iloc[0] == 0
+
+
+def test_from_scipy_sharded_layout():
+    rng = np.random.default_rng(8)
+    mat = sp.random(12, 21, density=0.3, random_state=1,
+                    data_rvs=lambda k: rng.integers(1, 9, k)).tocsr()
+    sc = sk.from_scipy_sharded(mat, 4, chunk=16)
+    assert sc.row.shape[0] == 4
+    assert sc.m == 6        # ceil(21/4 shards)*4 = 24 -> 6 local
+    # reassemble and compare
+    dense = np.zeros((12, 24))
+    for s_ in range(4):
+        for r, c, v in zip(np.asarray(sc.row[s_]),
+                           np.asarray(sc.col[s_]),
+                           np.asarray(sc.val[s_])):
+            if r < 12 and c < 6:
+                dense[r, s_ * 6 + c] += v
+    np.testing.assert_array_equal(dense[:, :21], mat.toarray())
+    np.testing.assert_array_equal(dense[:, 21:], 0)
