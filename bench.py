@@ -1,68 +1,47 @@
-"""Benchmark: VB-NMF sweep throughput on one chip.
+"""Benchmark: VB-NMF sweep throughput on one chip, across backends.
 
 North-star metric (BASELINE.json): VB sweeps/sec/chip on a 10x-scale
 count matrix.  The reference publishes no numbers (BASELINE.md), so the
 baseline denominator is the measured throughput of the reference's own
-math — dense float64 NumPy/BLAS sweeps (the Eigen-equivalent of
-src/vbnmf_update.cpp) on this host's CPU — giving vs_baseline =
-TPU sweeps/sec / CPU reference sweeps/sec for the same problem.
+math — dense float64 NumPy/BLAS sweeps (the computational twin of the
+Eigen/GSL kernel src/vbnmf_update.cpp; NumPy links multi-threaded
+OpenBLAS, so this baseline is FASTER than the reference's
+single-threaded Eigen) — giving vs_baseline = TPU sweeps/sec / CPU
+reference sweeps/sec for the same problem.
 
-Prints one JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Prints one JSON line per config; the NORTH-STAR line (dense fused
+pallas, n=4096 m=8192 r=16) is printed LAST.  Timing method: k-sweep
+device loops at two lengths, differenced — cancels the ~25 ms
+tunneled-dispatch fixed cost per call.
+
+Usage: python bench.py [--quick]   (--quick: north-star config only)
 """
 
 import json
+import sys
 import time
 
 import numpy as np
 
 
-def bench_tpu(n=4096, m=8192, r=16, dtype=None, backend="pallas_fused"):
-    """Device-side sweeps/sec: time k1- and k2-sweep device loops and
-    difference them, cancelling the fixed per-dispatch cost (the
-    tunneled TPU here adds ~25 ms per call, which at small k would
-    dominate and UNDER-report the chip's true sweep rate)."""
+def _problem(n, m, r, dtype, density=None, x_dtype=None, seed=0):
+    import jax.numpy as jnp
+
+    rng = np.random.default_rng(seed)
+    if density is None:
+        x = rng.poisson(2.0, size=(n, m))
+    else:
+        x = rng.poisson(2.0, size=(n, m)) * (
+            rng.random((n, m)) < density)
+    w = jnp.asarray(rng.gamma(1.0, 1.0, size=(n, r)), dtype)
+    h = jnp.asarray(rng.gamma(1.0, 1.0, size=(r, m)), dtype)
+    return x, w, h
+
+
+def _sweep_rate(body, state, k1=64, k2=576, reps=3):
     import functools
 
     import jax
-    import jax.numpy as jnp
-    from ccfindr_tpu.ops import vb as vb_ops
-    from ccfindr_tpu.ops.vb import Hyper, VBState
-
-    if dtype is None:
-        dtype = jnp.float32
-    rng = np.random.default_rng(0)
-    x = jnp.asarray(rng.poisson(2.0, size=(n, m)), dtype)
-    w = jnp.asarray(rng.gamma(1.0, 1.0, size=(n, r)), dtype)
-    h = jnp.asarray(rng.gamma(1.0, 1.0, size=(r, m)), dtype)
-    state = VBState(ew=w, eh=h, lw=w, lh=h, dw=jnp.zeros_like(w),
-                    dh=jnp.zeros_like(h),
-                    lkh=jnp.asarray(-jnp.inf, dtype))
-    hyper = Hyper(*(jnp.asarray(v, dtype) for v in (1.0, 1.0, 1.0, 1.0)))
-    fudge = jnp.asarray(np.finfo(np.float32).eps, dtype)
-    lgx = jnp.sum(jax.scipy.special.gammaln(x + 1.0))
-
-    if backend == "pallas_fused":
-        # the production path: one pass over X per sweep
-        from ccfindr_tpu.ops.pallas import make_fused_backend, pad_matrix
-        fused = make_fused_backend()
-        x = pad_matrix(x)
-
-        def body(st):
-            swn, shn, dterm = fused(x, st.lw, st.lh)
-            new, pending = vb_ops.posterior_update(
-                st.lw * swn, st.lh * shn, st, hyper, fudge, lgx)
-            return new._replace(lkh=(pending + dterm) / (n * m))
-    else:
-        kw = {}
-        if backend == "pallas":
-            from ccfindr_tpu.ops.pallas import (make_pallas_backend,
-                                                pad_matrix)
-            ss, dt_ = make_pallas_backend()
-            kw = dict(suffstats=ss, data_term=dt_)
-            x = pad_matrix(x)
-
-        def body(st):
-            return vb_ops.vb_sweep(x, st, hyper, fudge, lgx, **kw)
 
     @functools.partial(jax.jit, static_argnames=("k",))
     def sweep_k(state, k):
@@ -72,16 +51,59 @@ def bench_tpu(n=4096, m=8192, r=16, dtype=None, backend="pallas_fused"):
         out = sweep_k(state, k)          # compile + warm
         jax.block_until_ready(out)
         best = float("inf")
-        for _ in range(3):
+        for _ in range(reps):
             t0 = time.perf_counter()
             out = sweep_k(state, k)
             jax.block_until_ready(out)
             best = min(best, time.perf_counter() - t0)
         return best
 
-    k1, k2 = 64, 576
     t1, t2 = timed(k1), timed(k2)
     return (k2 - k1) / (t2 - t1)
+
+
+def bench_vb(n=4096, m=8192, r=16, backend="pallas_fused",
+             density=None, x_dtype=None, k=(64, 576)):
+    """Device-side VB sweeps/sec for one backend/config."""
+    import jax
+    import jax.numpy as jnp
+    from ccfindr_tpu.ops import vb as vb_ops
+    from ccfindr_tpu.ops.vb import Hyper, VBState
+
+    dtype = jnp.float32
+    x_np, w, h = _problem(n, m, r, dtype, density=density)
+    state = VBState(ew=w, eh=h, lw=w, lh=h, dw=jnp.zeros_like(w),
+                    dh=jnp.zeros_like(h),
+                    lkh=jnp.asarray(-jnp.inf, dtype))
+    hyper = Hyper(*(jnp.asarray(v, dtype) for v in (1.0,) * 4))
+    fudge = jnp.asarray(np.finfo(np.float32).eps, dtype)
+    lgx = jnp.sum(jax.scipy.special.gammaln(
+        jnp.asarray(x_np, dtype) + 1.0))
+
+    if backend in ("pallas_fused", "pallas_fused_int8",
+                   "pallas_fused_int16"):
+        from ccfindr_tpu.ops.pallas import make_fused_backend, pad_matrix
+        sd = {"pallas_fused": dtype, "pallas_fused_int8": jnp.int8,
+              "pallas_fused_int16": jnp.int16}[backend]
+        x = pad_matrix(jnp.asarray(x_np, sd))
+        fused = make_fused_backend()
+    elif backend == "sparse_fused":
+        from ccfindr_tpu.ops import sparse as sk
+        x = sk.from_dense(x_np, dtype=dtype)
+        fused = sk.make_sparse_fused()
+    elif backend == "dense_fused":
+        x = jnp.asarray(x_np, dtype)
+        fused = vb_ops.fused_dense
+    else:
+        raise ValueError(backend)
+
+    def body(st):
+        swn, shn, dterm = fused(x, st.lw, st.lh)
+        new, pending = vb_ops.posterior_update(
+            st.lw * swn, st.lh * shn, st, hyper, fudge, lgx)
+        return new._replace(lkh=(pending + dterm) / (n * m))
+
+    return _sweep_rate(body, state, k1=k[0], k2=k[1])
 
 
 def bench_cpu_reference(n=4096, m=8192, r=16, iters=3):
@@ -94,7 +116,6 @@ def bench_cpu_reference(n=4096, m=8192, r=16, iters=3):
     lw = rng.gamma(1.0, 1.0, size=(n, r))
     lh = rng.gamma(1.0, 1.0, size=(r, m))
     ew, eh = lw.copy(), lh.copy()
-    # warmup
     out = ref.vb_sweep_np(x, lw, lh, ew, eh, 1.0, 1.0, 1.0, 1.0)
     t0 = time.perf_counter()
     for _ in range(iters):
@@ -104,16 +125,83 @@ def bench_cpu_reference(n=4096, m=8192, r=16, iters=3):
     return iters / dt
 
 
+def bench_workflow():
+    """Bundled-dataset full rank scan (2..8 x 3 restarts, batched
+    fused-pallas) wall time, warm."""
+    import ccfindr_tpu as cf
+    from ccfindr_tpu.data import pbmc_sim_dir
+
+    s = cf.read_10x(pbmc_sim_dir())
+    s = cf.filter_cells(s, umi_min=700, umi_max=8000, plot=False)
+    s = cf.filter_genes(s, vmr_min=1.2, min_cells_expressed=50,
+                        plot=False, verbose=False)
+
+    def run():
+        return cf.vb_factorize(s, ranks=list(range(2, 9)), nrun=3,
+                               verbose=0, Itmax=3000, seed=0,
+                               backend="pallas")
+    run()                                   # compile
+    t0 = time.perf_counter()
+    out = run()
+    dt = time.perf_counter() - t0
+    import ccfindr_tpu as cf2
+    ropt = cf2.optimal_rank(out)["ropt"]
+    return dt, ropt
+
+
+def emit(metric, value, unit, vs_baseline=None):
+    rec = {"metric": metric, "value": round(float(value), 3),
+           "unit": unit}
+    if vs_baseline is not None:
+        rec["vs_baseline"] = round(float(vs_baseline), 2)
+    print(json.dumps(rec), flush=True)
+
+
 def main():
+    quick = "--quick" in sys.argv
     n, m, r = 4096, 8192, 16
-    tpu_sps = bench_tpu(n, m, r)
     cpu_sps = bench_cpu_reference(n, m, r)
-    print(json.dumps({
-        "metric": f"vb_sweeps_per_sec_chip_n{n}_m{m}_r{r}",
-        "value": round(tpu_sps, 3),
-        "unit": "sweeps/s",
-        "vs_baseline": round(tpu_sps / cpu_sps, 2),
-    }))
+
+    if not quick:
+        # rank sweep on the production fused kernel
+        for rr in (8, 32):
+            sps = bench_vb(n, m, rr)
+            emit(f"vb_sweeps_per_sec_chip_n{n}_m{m}_r{rr}", sps,
+                 "sweeps/s")
+        # compressed integer X storage (same math, 4x/2x less X HBM)
+        for be, tag in (("pallas_fused_int8", "int8"),
+                        ("pallas_fused_int16", "int16")):
+            sps = bench_vb(n, m, r, backend=be)
+            emit(f"vb_sweeps_per_sec_chip_n{n}_m{m}_r{r}_x{tag}", sps,
+                 "sweeps/s")
+        # sparse COO backend at scRNA density (10%)
+        sps = bench_vb(2048, 8192, r, backend="sparse_fused",
+                       density=0.10, k=(8, 40))
+        emit(f"vb_sweeps_per_sec_chip_n2048_m8192_r{r}_sparse10pct",
+             sps, "sweeps/s")
+        # dense fused on the same 10%-density matrix (the comparison
+        # BASELINE.md's sparse-strategy note discusses)
+        sps = bench_vb(2048, 8192, r, backend="pallas_fused",
+                       density=0.10)
+        emit(f"vb_sweeps_per_sec_chip_n2048_m8192_r{r}_dense10pct",
+             sps, "sweeps/s")
+        # gene-major layout (large gene panel)
+        sps = bench_vb(65536, 512, r, k=(32, 160))
+        emit(f"vb_sweeps_per_sec_chip_n65536_m512_r{r}_genemajor",
+             sps, "sweeps/s")
+        # bundled-dataset full rank scan
+        try:
+            dt, ropt = bench_workflow()
+            emit("bundled_rank_scan_2to8x3_wall", dt, "s")
+            emit("bundled_optimal_rank", ropt, "rank")
+        except Exception as e:          # noqa: BLE001
+            print(json.dumps({"metric": "bundled_rank_scan_2to8x3_wall",
+                              "error": str(e)[:200]}), flush=True)
+
+    # NORTH STAR last: production fused kernel at the headline shape
+    tpu_sps = bench_vb(n, m, r)
+    emit(f"vb_sweeps_per_sec_chip_n{n}_m{m}_r{r}", tpu_sps, "sweeps/s",
+         vs_baseline=tpu_sps / cpu_sps)
 
 
 if __name__ == "__main__":

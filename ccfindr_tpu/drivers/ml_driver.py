@@ -1,10 +1,24 @@
 """Maximum-likelihood factorization driver.
 
 TPU-native equivalent of reference factorize (R/factorize.R:139-276):
-rank sweep x nsmpl randomized replicates x nrun restarts, with restarts
-batched on device via vmap.  Consensus statistics (connectivity /
-dispersion / cophenetic) are host-side post-processing on the hard
-assignments returned by each run.
+rank sweep x nsmpl randomized replicates x nrun restarts.  Redesigns:
+
+* Restarts — and, with ``batch_ranks`` (default auto), the whole
+  rank sweep — run as ONE vmapped device loop with per-instance rank
+  masks, mirroring the VB driver's batching.
+* With a ``jax.sharding.Mesh``, X/H shard over the 'cells' axis and
+  the fused Pallas ML kernels run per shard under shard_map with
+  explicit psums (parallel.sharded.make_ml_sharded).
+* Consensus statistics stream through
+  ops.consensus.ConsensusAccumulator — exact dispersion without ever
+  materializing the m(m-1)/2 connectivity vector the reference
+  accumulates (R/factorize.R:214-216); the cophenetic correlation
+  (which inherently needs the condensed consensus distance) is
+  computed only while m <= ``cophenetic_max_cells`` and reported NaN
+  above it.
+* The gamma-prior MAP terms the reference documents but never enables
+  (R/factorize.R:9-22; quirk (e) in SURVEY §7.3) are exposed as
+  ``prior=True`` with ``gamma_a``/``gamma_b``.
 """
 
 from __future__ import annotations
@@ -28,7 +42,9 @@ def factorize(object, ranks=2, nrun=20, randomize=False, nsmpl=1,
               verbose=2, Itmax=10000, ncnn_step=40,
               criterion="likelihood", linkage="average", Tol=1e-5,
               store_connectivity=False, dtype=None, seed=0,
-              backend="dense"):
+              backend="dense", mesh=None, batch_ranks="auto",
+              prior=False, gamma_a=1.0, gamma_b=1.0,
+              cophenetic_max_cells=10000):
     """ML (Lee–Seung KL) NMF over a rank sweep.
 
     Mirrors reference factorize parameters (R/factorize.R:139-143).
@@ -41,6 +57,15 @@ def factorize(object, ranks=2, nrun=20, randomize=False, nsmpl=1,
     * ``'dense'``       — eager XLA loop (parity oracle)
     * ``'dense_fused'`` — XLA, deferred-likelihood 2-passes-over-X loop
     * ``'pallas'``      — fused single-pass H/W Pallas kernels
+
+    ``mesh`` shards X and H over the mesh's 'cells' axis (W stays
+    replicated): 'dense'/'dense_fused' partition via GSPMD, 'pallas'
+    runs the per-shard kernels under shard_map with explicit psums.
+
+    ``batch_ranks=True`` runs the whole rank sweep x restarts as one
+    padded vmapped batch (one compilation, one device loop); 'auto'
+    batches whenever there are multiple ranks.  ``prior=True`` enables
+    the gamma-prior MAP update terms with ``gamma_a``/``gamma_b``.
     """
     if np.isscalar(ranks):
         ranks = [int(ranks)]
@@ -59,9 +84,22 @@ def factorize(object, ranks=2, nrun=20, randomize=False, nsmpl=1,
     if (mat0.sum(axis=0) == 0).any():
         raise ValueError("Input matrix contains empty columns")
 
+    pn = float(gamma_a) - 1.0 if prior else 0.0
+    pd_ = float(gamma_a) / float(gamma_b) if prior else 0.0
+
+    # mesh: pad the cell axis to the 'cells' axis size with zero
+    # columns (same eps-level effect as the Pallas tile padding; the
+    # likelihood normalizes by the true (n, m) via nm_true)
+    m_pad = m
+    if mesh is not None and "cells" in mesh.axis_names:
+        ncells_ax = mesh.shape["cells"]
+        m_pad = -(-m // ncells_ax) * ncells_ax
+
     rng = np.random.default_rng(seed)
     key = jax.random.PRNGKey(seed)
     nrank = len(ranks)
+    if batch_ranks == "auto":
+        batch_ranks = nrank > 1
 
     wdat, hdat = [None] * nrank, [None] * nrank
     rdat = [[] for _ in range(nrank)]
@@ -69,63 +107,139 @@ def factorize(object, ranks=2, nrun=20, randomize=False, nsmpl=1,
     cdat = [[] for _ in range(nrank)]
     conav_last = None
 
-    for k, rank in enumerate(ranks):
-        if verbose > 0:
-            print(f"Rank {rank}")
-        for ismpl in range(nsmpl):
-            if randomize:
-                mat = np.empty_like(mat0)
-                for j in range(m):
-                    mat[:, j] = rng.permutation(mat0[:, j])
+    def place(x, w0, h0):
+        if mesh is None:
+            return x, w0, h0
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        axes = mesh.axis_names
+        runs = "runs" if "runs" in axes else None
+        cells = "cells" if "cells" in axes else None
+        x = jax.device_put(x, NamedSharding(mesh, P(None, cells)))
+        w0 = jax.device_put(w0, NamedSharding(mesh, P(runs, None, None)))
+        h0 = jax.device_put(h0, NamedSharding(mesh, P(runs, None, cells)))
+        return x, w0, h0
+
+    def device_x(mat):
+        x = jnp.asarray(mat, dtype)
+        run_kwargs = dict(pn=jnp.asarray(pn, dtype),
+                          pd=jnp.asarray(pd_, dtype))
+        if m_pad != m:
+            x = jnp.pad(x, ((0, 0), (0, m_pad - m)))
+        if backend == "dense_fused":
+            run_kwargs.update(fused_h=ml_ops.ml_h_dense,
+                              fused_w=ml_ops.ml_w_dense,
+                              nm_true=(n, m))
+        elif backend == "pallas":
+            from ..ops.pallas import ml_kernels as mlk
+            if mesh is not None and "cells" in mesh.axis_names:
+                from ..parallel.sharded import make_ml_sharded
+                fh, fw = make_ml_sharded(mesh)
             else:
-                mat = mat0
-            x = jnp.asarray(mat, dtype)
-            run_kwargs = {}
-            if backend == "dense_fused":
-                run_kwargs = dict(fused_h=ml_ops.ml_h_dense,
-                                  fused_w=ml_ops.ml_w_dense)
-            elif backend == "pallas":
-                from ..ops.pallas import ml_kernels as mlk
                 fh, fw = mlk.make_ml_backend()
                 x = mlk.pad_matrix(x)
-                run_kwargs = dict(fused_h=fh, fused_w=fw,
+            run_kwargs.update(fused_h=fh, fused_w=fw, nm_true=(n, m))
+        elif backend == "dense":
+            if m_pad != m:
+                run_kwargs.update(fused_h=ml_ops.ml_h_dense,
+                                  fused_w=ml_ops.ml_w_dense,
                                   nm_true=(n, m))
-            elif backend != "dense":
-                raise ValueError(f"unknown backend {backend!r}")
+        else:
+            raise ValueError(f"unknown backend {backend!r}")
+        return x, run_kwargs
 
+    def consensus_stats(cids, lkhs, niters, label=""):
+        """Best-of-run selection + streaming consensus over restarts
+        (reference R/factorize.R:214-226)."""
+        acc = cons.ConsensusAccumulator(m)
+        rmax, imax = -np.inf, 0
+        for i in range(len(lkhs)):
+            acc.add(cids[i])
+            lk = float(lkhs[i])
+            if (i == 0 or lk > rmax) and not np.isnan(lk):
+                rmax, imax = lk, i
+            if verbose >= 2:
+                print(f"Run #{i + 1}{label}: Nsteps = {int(niters[i])},"
+                      f" likelihood = {lk:.6g}, "
+                      f"dispersion = {acc.dispersion():.6g}")
+        disp = acc.dispersion()
+        if m <= cophenetic_max_cells:
+            conav = acc.conav()
+            coph = cons.cophenet(conav, m, method=linkage)
+        else:
+            conav, coph = None, float("nan")
+        return imax, rmax, disp, coph, conav
+
+    for ismpl in range(nsmpl):
+        if randomize:
+            mat = np.empty_like(mat0)
+            for j in range(m):
+                mat[:, j] = rng.permutation(mat0[:, j])
+        else:
+            mat = mat0
+        x, run_kwargs = device_x(mat)
+
+        if batch_ranks:
+            rmax_ = max(ranks)
+            nb = nrank * nrun
+            rank_arr = np.repeat(np.asarray(ranks, np.int64), nrun)
             key, sub = jax.random.split(key)
-            keys = jax.random.split(sub, nrun)
+            keys = jax.random.split(sub, nb)
             w0, h0 = jax.vmap(
-                lambda kk: ml_ops.ml_init(kk, n, m, rank, dtype))(keys)
+                lambda kk: ml_ops.ml_init(kk, n, m_pad, rmax_,
+                                          dtype))(keys)
+            np_dtype = np.dtype(jnp.zeros((), dtype).dtype)
+            rmask = jnp.asarray(
+                (np.arange(rmax_)[None, :] < rank_arr[:, None]
+                 ).astype(np_dtype))
+            x, w0, h0 = place(x, w0, h0)
             batched = jax.vmap(
-                lambda w, h: ml_ops.ml_run(
+                lambda w, h, rm: ml_ops.ml_run(
                     x, w, h, itmax=int(Itmax), tol=float(Tol),
                     criterion=criterion, ncnn_step=int(ncnn_step),
-                    **run_kwargs))
-            out = batched(w0, h0)
-            out = jax.tree.map(np.asarray, out)
+                    rank_mask=rm, **run_kwargs),
+                in_axes=(0, 0, 0))
+            out = jax.tree.map(np.asarray, batched(w0, h0, rmask))
+            groups = [(k, rank,
+                       [k * nrun + i for i in range(nrun)])
+                      for k, rank in enumerate(ranks)]
+        else:
+            groups = []
+            outs = []
+            for k, rank in enumerate(ranks):
+                if verbose > 0:
+                    print(f"Rank {rank} [{k + 1}/{nrank}]")
+                key, sub = jax.random.split(key)
+                keys = jax.random.split(sub, nrun)
+                w0, h0 = jax.vmap(
+                    lambda kk: ml_ops.ml_init(kk, n, m_pad, rank,
+                                              dtype))(keys)
+                x, w0, h0 = place(x, w0, h0)
+                batched = jax.vmap(
+                    lambda w, h: ml_ops.ml_run(
+                        x, w, h, itmax=int(Itmax), tol=float(Tol),
+                        criterion=criterion,
+                        ncnn_step=int(ncnn_step), **run_kwargs))
+                outs.append(jax.tree.map(np.asarray, batched(w0, h0)))
+                groups.append((k, rank, list(range(nrun))))
 
-            # consensus over restarts (reference R/factorize.R:214-216)
-            conav = np.zeros(m * (m - 1) // 2)
-            rmax, wmax, hmax = -np.inf, None, None
-            for i in range(nrun):
-                cnn = cons.connectivity(cid=out.cid[i])
-                conav += cnn
-                lk = float(out.lkh[i])
-                if (i == 0 or lk > rmax) and not np.isnan(lk):
-                    rmax, wmax, hmax = lk, out.w[i], out.h[i]
-                if verbose >= 2:
-                    disp_i = cons.dispersion(conav / (i + 1), m)
-                    print(f"Run #{i + 1}: Nsteps = {int(out.n_iter[i])}, "
-                          f"likelihood = {lk:.6g}, "
-                          f"dispersion = {disp_i:.6g}")
-            disp = cons.dispersion(conav / nrun, m)
-            coph = cons.cophenet(conav / nrun, m, method=linkage)
-            conav_last = conav / nrun
+        for k, rank, idxs in groups:
+            o = out if batch_ranks else outs[k]
+            # padded-rank instances: slice factors and clamp cids to
+            # the true rank (padded rows are eps, never argmax)
+            cids = [o.cid[b][:m] for b in idxs]
+            lkhs = [o.lkh[b] for b in idxs]
+            nits = [o.n_iter[b] for b in idxs]
+            label = f" rank {rank}" if batch_ranks else ""
+            imax, rmax, disp, coph, conav = consensus_stats(
+                cids, lkhs, nits, label)
+            wmax = np.asarray(o.w[idxs[imax]][:, :rank])
+            hmax = np.asarray(o.h[idxs[imax]][:rank, :m])
+            conav_last = conav
             if verbose >= 1:
-                print(f"Sample# {ismpl + 1}: Max(likelihood) = {rmax:.6g},"
-                      f" dispersion = {disp:.6g}, cophenetic = {coph:.6g}")
-
+                print(f"Sample# {ismpl + 1}: rank {rank}: "
+                      f"Max(likelihood) = {rmax:.6g}, dispersion = "
+                      f"{disp:.6g}, cophenetic = {coph:.6g}")
             if ismpl == 0:
                 wdat[k], hdat[k] = wmax.copy(), hmax.copy()
             else:
@@ -135,6 +249,7 @@ def factorize(object, ranks=2, nrun=20, randomize=False, nsmpl=1,
             ddat[k].append(disp)
             cdat[k].append(coph)
 
+    for k in range(nrank):
         wdat[k] /= nsmpl
         hdat[k] /= nsmpl
 

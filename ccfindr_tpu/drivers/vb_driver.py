@@ -309,7 +309,8 @@ def vb_factorize(object, ranks=2, nrun=1, verbose=2,
                  batch_ranks="auto", checkpoint_dir=None,
                  checkpoint_every=None,
                  suffstats=None, data_term=None,
-                 distributed="auto",
+                 distributed="auto", svd_method="auto",
+                 storage_dtype=None,
                  _process_count=None, _process_id=None):
     """Bayesian NMF inference of a count matrix.
 
@@ -447,10 +448,34 @@ def vb_factorize(object, ranks=2, nrun=1, verbose=2,
             run_kwargs["cell_mask"] = cell_mask
             run_kwargs["m_true"] = m
 
+    # compressed integer X storage: UMI counts are small ints, so an
+    # int8/int16 device layout cuts X's HBM footprint and read
+    # bandwidth 4x/2x with EXACT math (kernels upcast tiles in VMEM).
+    # scRNA's economical layout on TPU — see BASELINE.md's sparse
+    # strategy note.
+    dev_dtype = dtype
+    if storage_dtype is not None:
+        sd = np.dtype(storage_dtype)
+        if backend == "sparse":
+            raise ValueError("storage_dtype applies to the dense "
+                             "layouts; the sparse backend already "
+                             "stores only nonzeros")
+        if sd.kind not in "iu":
+            raise ValueError("storage_dtype must be an integer dtype")
+        if np.any(mat != np.round(mat)):
+            raise ValueError(
+                "storage_dtype requires integer counts (normalized "
+                "matrices are float — factorize raw counts instead)")
+        if float(mat.max()) > np.iinfo(sd).max:
+            raise ValueError(
+                f"counts up to {mat.max():.0f} overflow "
+                f"storage_dtype {sd.name}; use a wider type")
+        dev_dtype = sd
+
     if backend == "dense":
-        x = jnp.asarray(mat, dtype)
+        x = jnp.asarray(mat, dev_dtype)
     elif backend == "dense_fused":
-        x = jnp.asarray(mat, dtype)
+        x = jnp.asarray(mat, dev_dtype)
         run_kwargs["fused"] = vb_ops.fused_dense
     elif backend == "pallas":
         from ..ops import pallas as pk
@@ -458,10 +483,10 @@ def vb_factorize(object, ranks=2, nrun=1, verbose=2,
             # per-shard fused kernel + explicit psum collectives;
             # X stays unpadded globally (each shard pads locally)
             from ..parallel.sharded import make_fused_sharded
-            x = jnp.asarray(mat, dtype)
+            x = jnp.asarray(mat, dev_dtype)
             run_kwargs["fused"] = make_fused_sharded(mesh)
         else:
-            x = pk.pad_matrix(jnp.asarray(mat, dtype))
+            x = pk.pad_matrix(jnp.asarray(mat, dev_dtype))
             run_kwargs["fused"] = pk.make_fused_backend()
     elif backend == "pallas2pass":
         from ..ops import pallas as pk
@@ -664,7 +689,8 @@ def vb_factorize(object, ranks=2, nrun=1, verbose=2,
         else:
             st = vb_ops.vb_init_svd(mat, rank,
                                     Hyper(aw=aw0, bw=bw0, ah=ah0, bh=bh0),
-                                    variant=initializer, dtype=dtype)
+                                    variant=initializer, dtype=dtype,
+                                    method=svd_method, seed=seed)
             states = jax.tree.map(lambda a: a[None], st)
 
         xdev = x

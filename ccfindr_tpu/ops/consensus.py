@@ -38,3 +38,60 @@ def cophenet(conav: np.ndarray, nc: int, method: str = "average") -> float:
     z = sch.linkage(d, method=method)
     coph_corr, _ = sch.cophenet(z, d)
     return float(coph_corr)
+
+
+class ConsensusAccumulator:
+    """Streaming consensus statistics over restarts, EXACT and
+    O(runs^2 * (m + r^2)) — never materializes the m(m-1)/2
+    connectivity vector the reference accumulates
+    (R/factorize.R:214-216), which is 40 GB of doubles at m = 100k.
+
+    Identities (M = sum over runs of the 0/1 comembership matrix):
+    sum_ij M_ij   = sum_runs sum_k count_k^2           (cluster sizes)
+    sum_ij M_ij^2 = sum_{r,s} ||table(l_r, l_s)||_F^2  (contingency)
+    and the dispersion of the mean connectivity needs only those two
+    scalars.  ``conav()`` materializes the condensed mean vector (for
+    cophenetic correlation) and is gated by the caller at large m.
+    """
+
+    def __init__(self, m: int):
+        self.m = int(m)
+        self.labels: list[np.ndarray] = []
+        self._sum_m = 0.0
+        self._sum_m2 = 0.0
+
+    def add(self, cid) -> None:
+        cid = np.asarray(cid, np.int64)
+        csq = float(np.sum(np.bincount(cid).astype(np.float64) ** 2))
+        cross = 0.0
+        k1 = int(cid.max()) + 1
+        for prev in self.labels:
+            k0 = int(prev.max()) + 1
+            tab = np.bincount(prev * k1 + cid,
+                              minlength=k0 * k1).astype(np.float64)
+            cross += float(np.sum(tab ** 2))
+        self._sum_m2 += 2.0 * cross + csq
+        self._sum_m += csq
+        self.labels.append(cid)
+
+    @property
+    def nrun(self) -> int:
+        return len(self.labels)
+
+    def dispersion(self) -> float:
+        """Dispersion rho of the across-run mean connectivity — equals
+        dispersion(conav/nrun, m) exactly (reference
+        R/factorize.R:62-66)."""
+        rr = float(self.nrun)
+        m = self.m
+        total = self._sum_m2 / rr ** 2 - self._sum_m / rr + m * m / 4.0
+        con = (total - 0.25 * m) / 2.0      # strict upper-tri pairs
+        return 1.0 / m + 8.0 * con / m ** 2
+
+    def conav(self) -> np.ndarray:
+        """Condensed mean connectivity (materializes m(m-1)/2 — only
+        call when m is modest, e.g. for cophenet)."""
+        out = np.zeros(self.m * (self.m - 1) // 2)
+        for cid in self.labels:
+            out += connectivity(cid=cid)
+        return out / self.nrun

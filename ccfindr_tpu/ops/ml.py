@@ -28,13 +28,30 @@ def _dot(a, b):
                    preferred_element_type=acc)
 
 
-def ml_sweep(x, w, h, eps):
+def ml_sweep(x, w, h, eps, pn=0.0, pd=0.0, rank_mask=None):
     """One KL multiplicative update of H then W
-    (reference nmf_updateR, R/factorize.R:2-27)."""
-    h = h * _dot(w.T, x / _dot(w, h)) / jnp.sum(w, axis=0)[:, None]
+    (reference nmf_updateR, R/factorize.R:2-27).
+
+    ``pn``/``pd`` are the optional gamma-prior MAP terms
+    (pn = gamma_a - 1 added to the numerators, pd = gamma_a/gamma_b to
+    the denominators; reference R/factorize.R:9-22 — note the
+    reference's own driver never enables them, quirk (e) of SURVEY
+    §7.3; here ``factorize(prior=True)`` does).
+
+    ``rank_mask`` (r_pad,) pins padded rank components at ``eps`` for
+    batched rank sweeps; their contribution to W@H is eps^2 per
+    element, below float32 resolution.
+    """
+    h = (h * _dot(w.T, x / _dot(w, h)) + pn) \
+        / (jnp.sum(w, axis=0)[:, None] + pd)
     h = jnp.maximum(h, eps)
-    w = w * _dot(x / _dot(w, h), h.T) / jnp.sum(h, axis=1)[None, :]
+    if rank_mask is not None:
+        h = jnp.where(rank_mask[:, None] > 0, h, eps)
+    w = (w * _dot(x / _dot(w, h), h.T) + pn) \
+        / (jnp.sum(h, axis=1)[None, :] + pd)
     w = jnp.maximum(w, eps)
+    if rank_mask is not None:
+        w = jnp.where(rank_mask[None, :] > 0, w, eps)
     return w, h
 
 
@@ -101,7 +118,8 @@ def ml_w_dense(x, w, h):
                                    "fused_h", "fused_w", "nm_true"))
 def ml_run(x, w0, h0, *, itmax: int = 10000, tol: float = 1e-5,
            criterion: str = "likelihood", ncnn_step: int = 40,
-           fused_h=None, fused_w=None, nm_true=None) -> MLRunResult:
+           fused_h=None, fused_w=None, nm_true=None,
+           pn=0.0, pd=0.0, rank_mask=None) -> MLRunResult:
     """Iterate ml_sweep to convergence for one restart
     (reference driver loop R/factorize.R:187-213).
 
@@ -123,7 +141,8 @@ def ml_run(x, w0, h0, *, itmax: int = 10000, tol: float = 1e-5,
         return _ml_run_fused(x, w0, h0, itmax=itmax, tol=tol,
                              criterion=criterion, ncnn_step=ncnn_step,
                              fused_h=fused_h, fused_w=fused_w,
-                             nm_true=nm_true)
+                             nm_true=nm_true, pn=pn, pd=pd,
+                             rank_mask=rank_mask)
     eps = jnp.asarray(jnp.finfo(x.dtype).eps, x.dtype)
     tol = jnp.asarray(tol, x.dtype)
     lgconst = likelihood_const(x)
@@ -136,7 +155,8 @@ def ml_run(x, w0, h0, *, itmax: int = 10000, tol: float = 1e-5,
 
         def body(c):
             it, w, h, lkold, lk0, _ = c
-            w, h = ml_sweep(x, w, h, eps)
+            w, h = ml_sweep(x, w, h, eps, pn=pn, pd=pd,
+                            rank_mask=rank_mask)
             lk = likelihood(x, w, h, lgconst)
             done = jnp.abs(lkold - lk) < tol * jnp.abs(lkold)
             return it + 1, w, h, lk, lk, done
@@ -173,7 +193,8 @@ def ml_run(x, w0, h0, *, itmax: int = 10000, tol: float = 1e-5,
 
 
 def _ml_run_fused(x, w0, h0, *, itmax, tol, criterion, ncnn_step,
-                  fused_h, fused_w, nm_true=None) -> MLRunResult:
+                  fused_h, fused_w, nm_true=None, pn=0.0, pd=0.0,
+                  rank_mask=None) -> MLRunResult:
     """Deferred-likelihood ML loop over single-pass fused kernels.
 
     criterion='likelihood': fused iteration i completes the likelihood
@@ -196,9 +217,15 @@ def _ml_run_fused(x, w0, h0, *, itmax, tol, criterion, ncnn_step,
                  + lgconst) / (n * m))
 
     def do_sweep(w, h, hn):
-        h1 = jnp.maximum(h * hn / jnp.sum(w, axis=0)[:, None], eps)
+        h1 = jnp.maximum((h * hn + pn)
+                         / (jnp.sum(w, axis=0)[:, None] + pd), eps)
+        if rank_mask is not None:
+            h1 = jnp.where(rank_mask[:, None] > 0, h1, eps)
         wn = fused_w(x, w, h1)
-        w1 = jnp.maximum(w * wn / jnp.sum(h1, axis=1)[None, :], eps)
+        w1 = jnp.maximum((w * wn + pn)
+                         / (jnp.sum(h1, axis=1)[None, :] + pd), eps)
+        if rank_mask is not None:
+            w1 = jnp.where(rank_mask[None, :] > 0, w1, eps)
         return w1, h1
 
     if criterion == "likelihood":

@@ -38,7 +38,7 @@ from .vb_kernels import (DEFAULT_BN, DEFAULT_BM, _interpret, _round_up,
 def _ml_h_kernel(x_ref, w_ref, h_ref, hn_ref, acc_ref, *, bn):
     j = pl.program_id(0)
     i = pl.program_id(1)
-    acc_t = jnp.promote_types(x_ref.dtype, jnp.float32)
+    acc_t = jnp.promote_types(w_ref.dtype, jnp.float32)
     w = w_ref[pl.ds(i * bn, bn), :]
     h = h_ref[...]
     x = x_ref[...]
@@ -62,7 +62,7 @@ def _ml_h_kernel(x_ref, w_ref, h_ref, hn_ref, acc_ref, *, bn):
 def _ml_w_kernel(x_ref, w_ref, h_ref, wn_ref, *, bn):
     j = pl.program_id(0)
     i = pl.program_id(1)
-    acc_t = jnp.promote_types(x_ref.dtype, jnp.float32)
+    acc_t = jnp.promote_types(w_ref.dtype, jnp.float32)
     w = w_ref[pl.ds(i * bn, bn), :]
     h = h_ref[...]
     wh = jnp.dot(w, h, preferred_element_type=acc_t)
@@ -79,10 +79,10 @@ def _ml_w_kernel(x_ref, w_ref, h_ref, wn_ref, *, bn):
 @functools.partial(jax.jit, static_argnames=("n", "m", "r", "bn", "bm"))
 def _ml_h_padded(x_pad, w, h, *, n, m, r, bn, bm):
     np_, mp_ = x_pad.shape
-    rp_ = _round_up(max(r, 8), 128)
+    rp_ = _round_up(max(r, 8), 8)
     w_p, h_p = _pad_factors(w, h, np_, mp_, rp_)
     ni, nj = np_ // bn, mp_ // bm
-    acc_t = jnp.promote_types(x_pad.dtype, jnp.float32)
+    acc_t = jnp.promote_types(w.dtype, jnp.float32)
 
     hn, acc = pl.pallas_call(
         functools.partial(_ml_h_kernel, bn=bn),
@@ -118,10 +118,10 @@ def _ml_h_padded(x_pad, w, h, *, n, m, r, bn, bm):
 @functools.partial(jax.jit, static_argnames=("n", "m", "r", "bn", "bm"))
 def _ml_w_padded(x_pad, w, h, *, n, m, r, bn, bm):
     np_, mp_ = x_pad.shape
-    rp_ = _round_up(max(r, 8), 128)
+    rp_ = _round_up(max(r, 8), 8)
     w_p, h_p = _pad_factors(w, h, np_, mp_, rp_)
     ni, nj = np_ // bn, mp_ // bm
-    acc_t = jnp.promote_types(x_pad.dtype, jnp.float32)
+    acc_t = jnp.promote_types(w.dtype, jnp.float32)
 
     wn = pl.pallas_call(
         functools.partial(_ml_w_kernel, bn=bn),

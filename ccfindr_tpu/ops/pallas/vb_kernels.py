@@ -73,7 +73,7 @@ def _pad_factors(lw, lh, np_, mp_, rp_):
 
 def _suffstats_kernel(x_ref, lw_ref, lh_ref, swn_ref, shn_ref):
     j = pl.program_id(1)
-    acc_t = jnp.promote_types(x_ref.dtype, jnp.float32)
+    acc_t = jnp.promote_types(lw_ref.dtype, jnp.float32)
     lw = lw_ref[...]
     lh = lh_ref[...]
     wth = jnp.dot(lw, lh, preferred_element_type=acc_t)
@@ -95,7 +95,7 @@ def suffstats_pallas_padded(x_pad, lw, lh, *, n, m, r, bn, bm):
     rp_ = _round_up(max(r, 8), 128)
     lw_p, lh_p = _pad_factors(lw, lh, np_, mp_, rp_)
     ni, nj = np_ // bn, mp_ // bm
-    acc_t = jnp.promote_types(x_pad.dtype, jnp.float32)
+    acc_t = jnp.promote_types(lw.dtype, jnp.float32)
 
     swn, shn_part = pl.pallas_call(
         _suffstats_kernel,
@@ -151,7 +151,7 @@ def suffstats_pallas(x, lw, lh, bn: int = DEFAULT_BN,
 def _elbo_kernel(x_ref, lw_ref, lh_ref, lwl_ref, lhl_ref, acc_ref):
     i = pl.program_id(0)
     j = pl.program_id(1)
-    acc_t = jnp.promote_types(x_ref.dtype, jnp.float32)
+    acc_t = jnp.promote_types(lw_ref.dtype, jnp.float32)
     lw = lw_ref[...]
     lh = lh_ref[...]
     wth = jnp.dot(lw, lh, preferred_element_type=acc_t)
@@ -177,7 +177,7 @@ def elbo_data_pallas_padded(x_pad, lw, lh, *, n, m, r, bn, bm):
     lhl = jnp.where(lh_p > 0, lh_p * jnp.log(
         jnp.where(lh_p > 0, lh_p, 1.0)), 0.0).astype(lh_p.dtype)
     ni, nj = np_ // bn, mp_ // bm
-    acc_t = jnp.promote_types(x_pad.dtype, jnp.float32)
+    acc_t = jnp.promote_types(lw.dtype, jnp.float32)
 
     acc = pl.pallas_call(
         _elbo_kernel,
@@ -253,7 +253,7 @@ def _fused_cm_kernel(x_ref, lw_ref, lh_ref, swn_ref, shn_ref, acc_ref):
     """
     j = pl.program_id(0)
     i = pl.program_id(1)
-    acc_t = jnp.promote_types(x_ref.dtype, jnp.float32)
+    acc_t = jnp.promote_types(lw_ref.dtype, jnp.float32)
     lw = lw_ref[...]
     lh = lh_ref[...]
     x = x_ref[...].astype(lw.dtype)
@@ -289,7 +289,7 @@ def _fused_gm_kernel(x_ref, lw_ref, lh_ref, swn_ref, shn_ref, acc_ref):
     """
     i = pl.program_id(0)
     j = pl.program_id(1)
-    acc_t = jnp.promote_types(x_ref.dtype, jnp.float32)
+    acc_t = jnp.promote_types(lw_ref.dtype, jnp.float32)
     lw = lw_ref[...]
     lh = lh_ref[...]
     x = x_ref[...].astype(lw.dtype)
@@ -333,7 +333,7 @@ def fused_pallas_padded(x_pad, lw, lh, *, n, m, r, bn, bm,
     rp_ = _round_up(max(r, 8), 8)
     lw_p, lh_p = _pad_factors(lw, lh, np_, mp_, rp_)
     ni, nj = np_ // bn, mp_ // bm
-    acc_t = jnp.promote_types(x_pad.dtype, jnp.float32)
+    acc_t = jnp.promote_types(lw.dtype, jnp.float32)
     if layout is None:
         layout = _fused_layout(np_, mp_, rp_)
 

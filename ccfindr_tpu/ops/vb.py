@@ -68,7 +68,7 @@ def suffstats_dense(x, lw, lh):
     Kept as a seam so the Pallas fused kernel / sparse path can be
     swapped in (see ops/pallas/vb_kernels.py).
     """
-    acc = jnp.promote_types(x.dtype, jnp.float32)
+    acc = jnp.promote_types(lw.dtype, jnp.float32)
     wth = lax.dot(lw, lh, precision=lax.Precision.HIGHEST,
                   preferred_element_type=acc)
     xw = x / wth
@@ -89,7 +89,7 @@ def elbo_data_term(x, lw, lh):
     which shares its GEMMs with the sufficient statistics — the same
     expression the fused backends use, so the eager and fused loops
     stay bit-identical."""
-    acc = jnp.promote_types(x.dtype, jnp.float32)
+    acc = jnp.promote_types(lw.dtype, jnp.float32)
     dot = partial(lax.dot, precision=lax.Precision.HIGHEST,
                   preferred_element_type=acc)
     wth = dot(lw, lh)
@@ -187,7 +187,7 @@ def fused_dense(x, lw, lh):
     sum x*S/wth = sum swn*(lw log lw) + sum shn*(lh log lh).
     See vb_run(fused=...).
     """
-    acc = jnp.promote_types(x.dtype, jnp.float32)
+    acc = jnp.promote_types(lw.dtype, jnp.float32)
     dot = partial(lax.dot, precision=lax.Precision.HIGHEST,
                   preferred_element_type=acc)
     wth = dot(lw, lh)
@@ -339,7 +339,8 @@ def vb_init_random(key, n, m, rank, hyper: Hyper, dtype=jnp.float32
 
 
 def vb_init_svd(x, rank, hyper: Hyper, variant: str = "svd2",
-                dtype=jnp.float32) -> VBState:
+                dtype=jnp.float32, method: str = "auto",
+                seed: int = 0) -> VBState:
     """Deterministic SVD-based inits.
 
     ``'svd'``  — NNDSVD (Boutsidis & Gallopoulos 2008).  The reference's
@@ -348,22 +349,51 @@ def vb_init_svd(x, rank, hyper: Hyper, variant: str = "svd2",
     norms are used.
     ``'svd2'`` — truncated SVD, absolute values, scaled so mean(h)=bh
     (reference R/bayesian.R:150-159).
+
+    ``method``: ``'exact'`` — host LAPACK/Lanczos (the irlba analog);
+    ``'randomized'`` — ops.rsvd.randomized_svd on DEVICE (sharded tall
+    GEMMs / COO scans; the atlas-scale path, SURVEY §7.3 "SVD init on
+    TPU"); ``'auto'`` — exact below 4096 on the short axis, randomized
+    above.  ``x`` may be dense, scipy sparse, or a
+    ops.sparse.SparseCounts — never densified.
     """
     import numpy as np
     import scipy.sparse as sp
-    import scipy.sparse.linalg as spla
 
-    sparse_in = sp.issparse(x)
-    if sparse_in:
-        x = sp.csr_matrix(x).astype(np.float64)
+    from .sparse import SparseCounts
+
+    if isinstance(x, SparseCounts):
+        n, m = x.n, x.m
+        sparse_in = True
     else:
-        x = np.asarray(x, dtype=np.float64)
-    n, m = x.shape
-    if min(n, m) / 2 > rank:
+        sparse_in = sp.issparse(x)
+        if sparse_in:
+            x = sp.csr_matrix(x).astype(np.float64)
+        else:
+            x = np.asarray(x, dtype=np.float64)
+        n, m = x.shape
+    if method == "auto":
+        method = ("randomized" if min(n, m) > 4096
+                  or isinstance(x, SparseCounts) else "exact")
+
+    if method == "randomized":
+        from . import rsvd
+
+        if sparse_in and not isinstance(x, SparseCounts):
+            from .sparse import from_scipy
+
+            x = from_scipy(x, dtype=dtype)
+        u, s, vt = rsvd.randomized_svd(x, rank, seed=seed)
+        u = np.asarray(u, np.float64)
+        s = np.asarray(s, np.float64)
+        vt = np.asarray(vt, np.float64)
+    elif min(n, m) / 2 > rank:
         # truncated Lanczos SVD (irlba-equivalent) — both variants
         # only consume the top-`rank` triplet, so sparse inputs never
         # densify (reference uses irlba only for svd2,
         # R/bayesian.R:152-156)
+        import scipy.sparse.linalg as spla
+
         u, s, vt = spla.svds(x, k=rank)
         order = np.argsort(-s)
         u, s, vt = u[:, order], s[order], vt[order]
@@ -482,13 +512,16 @@ def vb_run(x, state0: VBState, hyper0: Hyper, *, itmax: int = 10000,
                              m_true=m_true, rank_mask=rank_mask,
                              r_true=r_true, it0=it0, lk0_init=lk0_init)
     # SparseCounts -> its nonzero values; plain (possibly traced)
-    # arrays pass through
+    # arrays pass through.  X may be stored in a compressed integer
+    # dtype (drivers.vb_driver storage_dtype) — all loop scalars use
+    # the FACTOR dtype.
     xval = x.val if isinstance(x, tuple) and hasattr(x, "val") else x
+    ref_t = state0.lw.dtype
     if fudge is None:
-        fudge = _dtype_eps(xval.dtype)
-    fudge = jnp.asarray(fudge, xval.dtype)
-    lgx = jnp.sum(gammaln(xval + 1.0))
-    tol = jnp.asarray(tol, xval.dtype)
+        fudge = _dtype_eps(ref_t)
+    fudge = jnp.asarray(fudge, ref_t)
+    lgx = jnp.sum(gammaln(xval.astype(ref_t) + 1.0))
+    tol = jnp.asarray(tol, ref_t)
     if rank_mask is not None:
         # zero out padded rank components in the initial state
         mw = rank_mask[None, :]
@@ -533,7 +566,7 @@ def vb_run(x, state0: VBState, hyper0: Hyper, *, itmax: int = 10000,
         return it + 1, state, hyper, lk0, done, hfail
 
     it_start = jnp.asarray(it0)
-    lk0 = jnp.asarray(lk0_init, xval.dtype)
+    lk0 = jnp.asarray(lk0_init, ref_t)
     carry = (it_start, state0, hyper0, lk0, jnp.asarray(False),
              jnp.asarray(False))
     it, state, hyper, lk0, done, hfail = lax.while_loop(cond, body, carry)
@@ -558,11 +591,12 @@ def _vb_run_fused(x, state0: VBState, hyper0: Hyper, *, itmax, tol,
     xval = x.val if isinstance(x, tuple) and hasattr(x, "val") else x
     n = state0.lw.shape[0]
     m = m_true if m_true is not None else state0.lh.shape[1]
+    ref_t = state0.lw.dtype
     if fudge is None:
-        fudge = _dtype_eps(xval.dtype)
-    fudge = jnp.asarray(fudge, xval.dtype)
-    lgx = jnp.sum(gammaln(xval + 1.0))
-    tol = jnp.asarray(tol, xval.dtype)
+        fudge = _dtype_eps(ref_t)
+    fudge = jnp.asarray(fudge, ref_t)
+    lgx = jnp.sum(gammaln(xval.astype(ref_t) + 1.0))
+    tol = jnp.asarray(tol, ref_t)
     if rank_mask is not None:
         mw = rank_mask[None, :]
         mh = rank_mask[:, None]
@@ -619,8 +653,8 @@ def _vb_run_fused(x, state0: VBState, hyper0: Hyper, *, itmax, tol,
         return it + 1, state, hyper, lk0, pending, done, hfail
 
     it_start = jnp.asarray(it0)
-    lk0 = jnp.asarray(lk0_init, xval.dtype)
-    pending0 = jnp.asarray(0.0, xval.dtype)
+    lk0 = jnp.asarray(lk0_init, ref_t)
+    pending0 = jnp.asarray(0.0, ref_t)
     carry = (it_start, state0, hyper0, lk0, pending0,
              jnp.asarray(False), jnp.asarray(False))
     it, state, hyper, lk0, _, done, hfail = lax.while_loop(

@@ -103,3 +103,38 @@ def make_sparse_fused_sharded(mesh: Mesh, chunk: int = 1 << 16):
                  in_specs=(P("cells"), P(None, None),
                            P(None, "cells")),
                  out_specs=(P(None, None), P(None, "cells"), P()))
+
+
+def make_ml_sharded(mesh: Mesh, bn: int = None, bm: int = None):
+    """(fused_h, fused_w) ML backends over a cell-sharded mesh.
+
+    Per sweep each device reads only its (genes x local-cells) block:
+    the H-update numerator and H itself stay local (no communication);
+    the W-update numerator (n x r) and the scalar likelihood term are
+    psum'd — the same O(n*r) per-sweep communication as the VB path.
+    Local blocks run the fused Pallas ML kernels (which tile-pad their
+    shard internally).
+    """
+    from ..ops.pallas import ml_kernels as mlk
+    kw = {}
+    if bn is not None:
+        kw["bn"] = bn
+    if bm is not None:
+        kw["bm"] = bm
+
+    def local_h(x, w, h):
+        hn, xlw = mlk.ml_h_pallas(x, w, h, **kw)
+        return hn, jax.lax.psum(xlw, "cells")
+
+    def local_w(x, w, h):
+        return jax.lax.psum(mlk.ml_w_pallas(x, w, h, **kw), "cells")
+
+    fused_h = _smap(local_h, mesh,
+                    in_specs=(P(None, "cells"), P(None, None),
+                              P(None, "cells")),
+                    out_specs=(P(None, "cells"), P()))
+    fused_w = _smap(local_w, mesh,
+                    in_specs=(P(None, "cells"), P(None, None),
+                              P(None, "cells")),
+                    out_specs=P(None, None))
+    return fused_h, fused_w

@@ -326,3 +326,30 @@ def test_multihost_requires_random_init():
     with pytest.raises(ValueError, match="initializer='random'"):
         cf.vb_factorize(s, ranks=2, initializer="svd2", verbose=0,
                         _process_count=2, _process_id=0)
+
+
+def test_storage_dtype_integer_exact():
+    """Compressed int16/uint8 X storage is EXACT: counts are integers,
+    kernels upcast in VMEM — results match the float-stored run
+    bit-for-bit (dense) / at float tolerance (pallas tiles)."""
+    sim = cf.simulate_whx(nrow=24, ncol=30, rank=3, seed=13)
+    s = cf.SCSet(count=sim["x"])
+    kw = dict(ranks=[2, 3], nrun=2, verbose=0, Itmax=300, seed=2)
+    a = cf.vb_factorize(s, **kw)
+    b = cf.vb_factorize(s, storage_dtype="int16", **kw)
+    np.testing.assert_array_equal(a.measure["lml"], b.measure["lml"])
+    for k in range(2):
+        np.testing.assert_array_equal(a.basis[k], b.basis[k])
+    c = cf.vb_factorize(s, storage_dtype="uint8", backend="pallas",
+                        **kw)
+    np.testing.assert_allclose(a.measure["lml"], c.measure["lml"],
+                               rtol=1e-6)
+
+    with pytest.raises(ValueError, match="integer counts"):
+        cf.vb_factorize(cf.SCSet(count=sim["x"] + 0.5), ranks=2,
+                        verbose=0, storage_dtype="int16")
+    with pytest.raises(ValueError, match="overflow"):
+        big = sim["x"].copy()
+        big[0, 0] = 300.0
+        cf.vb_factorize(cf.SCSet(count=big), ranks=2, verbose=0,
+                        storage_dtype="uint8")

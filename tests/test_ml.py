@@ -1,6 +1,7 @@
 """ML (Lee–Seung) kernel tests vs the NumPy oracle + consensus stats."""
 
 import numpy as np
+import pytest
 
 import jax
 import jax.numpy as jnp
@@ -188,3 +189,125 @@ def test_factorize_backends_agree():
     np.testing.assert_allclose(lk["dense_fused"], lk["dense"],
                                rtol=1e-12)
     np.testing.assert_allclose(lk["pallas"], lk["dense"], rtol=1e-6)
+
+
+def test_consensus_accumulator_exact(rng):
+    """Streaming dispersion == direct dispersion(conav/R, m)."""
+    from ccfindr_tpu.ops import consensus as cons
+
+    m = 37
+    acc = cons.ConsensusAccumulator(m)
+    conav = np.zeros(m * (m - 1) // 2)
+    for t in range(5):
+        cid = rng.integers(0, 4, m)
+        acc.add(cid)
+        conav += cons.connectivity(cid=cid)
+        want = cons.dispersion(conav / (t + 1), m)
+        assert acc.dispersion() == pytest.approx(want, rel=1e-12)
+    np.testing.assert_allclose(acc.conav(), conav / 5)
+
+
+def test_ml_batch_ranks_single_rank_exact():
+    """With one rank (no padding), the batched path IS the sequential
+    path: identical key stream, identical results."""
+    sim = cf.simulate_whx(nrow=20, ncol=30, rank=3, aw=1.0, ah=1.0,
+                          seed=3)
+    s = cf.SCSet(count=sim["x"])
+    kw = dict(ranks=[3], nrun=3, verbose=0, Itmax=200, seed=7)
+    a = cf.factorize(s, batch_ranks=False, **kw)
+    b = cf.factorize(s, batch_ranks=True, **kw)
+    np.testing.assert_array_equal(a.measure["likelihood"],
+                                  b.measure["likelihood"])
+    np.testing.assert_array_equal(a.basis[0], b.basis[0])
+
+
+def test_ml_rank_mask_matches_unpadded():
+    """A rank-2 problem run inside a rank-3 padded instance with a
+    rank mask reproduces the unpadded rank-2 run (padded components
+    pinned at eps contribute ~eps^2 to W@H — below resolution)."""
+    rng2 = np.random.default_rng(12)
+    n, m = 18, 26
+    x = jnp.asarray(rng2.poisson(
+        rng2.gamma(1.0, 1.0, (n, 2)) @ rng2.gamma(1.0, 1.0, (2, m))
+        + 0.5).astype(np.float64))
+    w0 = rng2.uniform(size=(n, 2))
+    h0 = rng2.uniform(size=(2, m))
+    a = ml_ops.ml_run(x, jnp.asarray(w0), jnp.asarray(h0), itmax=150)
+
+    eps = np.finfo(np.float64).eps
+    w0p = np.full((n, 3), eps)
+    h0p = np.full((3, m), eps)
+    w0p[:, :2] = w0
+    h0p[:2] = h0
+    mask = jnp.asarray(np.array([1.0, 1.0, 0.0]))
+    b = ml_ops.ml_run(x, jnp.asarray(w0p), jnp.asarray(h0p),
+                      itmax=150, rank_mask=mask)
+    assert int(a.n_iter) == int(b.n_iter)
+    np.testing.assert_allclose(float(a.lkh), float(b.lkh), rtol=1e-12)
+    np.testing.assert_allclose(np.asarray(a.w),
+                               np.asarray(b.w[:, :2]), rtol=1e-10)
+    np.testing.assert_array_equal(np.asarray(b.w[:, 2]), eps)
+    # batched multi-rank sweep recovers the same science
+    sim = cf.simulate_whx(nrow=20, ncol=30, rank=3, aw=1.0, ah=1.0,
+                          seed=3)
+    s = cf.SCSet(count=sim["x"])
+    out = cf.factorize(s, ranks=[2, 3, 4], nrun=3, verbose=0,
+                       Itmax=200, seed=7, batch_ranks=True)
+    assert out.ranks == [2, 3, 4]
+    assert np.isfinite(out.measure["likelihood"]).all()
+    assert out.basis[1].shape == (s.n_genes, 3)
+
+
+def test_ml_prior_map_terms():
+    """prior=True applies the gamma-prior MAP terms the reference
+    documents but never enables (R/factorize.R:9-22): a strong prior
+    pulls the factors toward gamma_b and changes the fit."""
+    sim = cf.simulate_whx(nrow=15, ncol=25, rank=2, aw=1.0, ah=1.0,
+                          seed=5)
+    s = cf.SCSet(count=sim["x"])
+    a = cf.factorize(s, ranks=2, nrun=2, verbose=0, Itmax=150, seed=1)
+    b = cf.factorize(s, ranks=2, nrun=2, verbose=0, Itmax=150, seed=1,
+                     prior=True, gamma_a=5.0, gamma_b=1.0)
+    assert not np.allclose(a.basis[0], b.basis[0])
+    # MAP with a flat prior (a=1, b->inf limit ~ a/b -> 0) == ML
+    c = cf.factorize(s, ranks=2, nrun=2, verbose=0, Itmax=150, seed=1,
+                     prior=True, gamma_a=1.0, gamma_b=1e12)
+    np.testing.assert_allclose(a.measure["likelihood"],
+                               c.measure["likelihood"], rtol=1e-8)
+
+
+def test_ml_cophenetic_gate():
+    """Above cophenetic_max_cells the m^2 statistic is NaN (documented
+    scale gate); dispersion stays exact via the streaming identity."""
+    sim = cf.simulate_whx(nrow=15, ncol=30, rank=2, aw=1.0, ah=1.0,
+                          seed=6)
+    s = cf.SCSet(count=sim["x"])
+    a = cf.factorize(s, ranks=2, nrun=2, verbose=0, Itmax=100, seed=1,
+                     cophenetic_max_cells=5)
+    b = cf.factorize(s, ranks=2, nrun=2, verbose=0, Itmax=100, seed=1)
+    assert np.isnan(a.measure["cophenetic"]).all()
+    assert np.isfinite(b.measure["cophenetic"]).all()
+    np.testing.assert_allclose(a.measure["dispersion"],
+                               b.measure["dispersion"])
+
+
+def test_ml_factorize_mesh_matches_single():
+    """ML mesh path (GSPMD dense + shard_map pallas): same science as
+    the single-device run, non-divisible cell count included."""
+    import jax
+
+    assert len(jax.devices()) == 8
+    mesh = cf.make_mesh(runs=2, cells=4)
+    sim = cf.simulate_whx(nrow=16, ncol=33, rank=2, aw=1.0, ah=1.0,
+                          seed=8)
+    s = cf.SCSet(count=sim["x"])
+    kw = dict(ranks=2, nrun=2, verbose=0, Itmax=200, seed=4)
+    a = cf.factorize(s, **kw)
+    b = cf.factorize(s, mesh=mesh, **kw)
+    np.testing.assert_allclose(a.measure["likelihood"],
+                               b.measure["likelihood"], rtol=1e-4)
+    assert b.coeff[0].shape == a.coeff[0].shape
+    c = cf.factorize(s, mesh=mesh, backend="pallas", **kw)
+    np.testing.assert_allclose(a.measure["likelihood"],
+                               c.measure["likelihood"], rtol=1e-3)
+    assert c.coeff[0].shape == a.coeff[0].shape

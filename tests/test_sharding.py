@@ -83,11 +83,12 @@ def test_vb_factorize_sharded_matches_unsharded(mesh8):
 
 
 def test_ml_factorize_on_mesh_smoke(mesh8):
-    # ML driver has no mesh arg yet; ensure plain path passes under the
-    # 8-device runtime (placement on device 0).
+    """ML driver over the mesh (GSPMD path); equivalence with the
+    single-device run is covered in test_ml.py."""
     x = cf.simulate_data(nfeatures=8, nsamples=[10, 12], seed=44)
     s = cf.SCSet(count=x)
-    out = cf.factorize(s, ranks=2, nrun=2, verbose=0, Itmax=100)
+    out = cf.factorize(s, ranks=2, nrun=2, verbose=0, Itmax=100,
+                       mesh=mesh8)
     assert out.ranks == [2]
 
 
