@@ -310,7 +310,7 @@ def vb_factorize(object, ranks=2, nrun=1, verbose=2,
                  checkpoint_every=None,
                  suffstats=None, data_term=None,
                  distributed="auto", svd_method="auto",
-                 storage_dtype=None,
+                 storage_dtype=None, sparse_layout="auto",
                  _process_count=None, _process_id=None):
     """Bayesian NMF inference of a count matrix.
 
@@ -324,7 +324,12 @@ def vb_factorize(object, ranks=2, nrun=1, verbose=2,
     * ``'pallas'``      — fused single-pass-over-X Pallas kernel
       (suffstats + ELBO data term share wth; 5 GEMMs, one X read)
     * ``'pallas2pass'`` — separate Pallas suffstats/ELBO kernels
-    * ``'sparse'``      — O(nnz*r) COO kernels (no densification)
+    * ``'sparse'``      — O(nnz*r) nonzero-only kernels (no
+      densification anywhere).  ``sparse_layout`` picks the device
+      layout: ``'ell'`` (default off-mesh) — dual gather-only hybrid
+      ELL (ops.ell, ~4x the COO throughput: no XLA scatters);
+      ``'coo'`` — chunked COO scan (the mesh-sharded layout);
+      ``'auto'`` — ell off-mesh, coo under a mesh.
 
     ``batch_ranks=True`` runs the ENTIRE rank sweep x restarts as one
     vmapped batch padded to max(ranks) with per-instance rank masks —
@@ -496,7 +501,12 @@ def vb_factorize(object, ranks=2, nrun=1, verbose=2,
         run_kwargs["data_term"] = dt
     elif backend == "sparse":
         from ..ops import sparse as sk
+        if sparse_layout not in ("auto", "ell", "coo"):
+            raise ValueError(f"unknown sparse_layout {sparse_layout!r}")
         if mesh is not None and "cells" in mesh.axis_names:
+            if sparse_layout == "ell":
+                raise ValueError("sparse_layout='ell' is single-device"
+                                 "; use 'coo' (or 'auto') with a mesh")
             # cell-sharded COO: each device scans only its own cells'
             # nonzeros; psum of the n x r suffstat partial + scalar
             # ELBO (same collective pattern as the dense mesh path)
@@ -504,9 +514,13 @@ def vb_factorize(object, ranks=2, nrun=1, verbose=2,
             x = sk.from_scipy_sharded(mat, mesh.shape["cells"],
                                       m_pad=m_pad, dtype=dtype)
             run_kwargs["fused"] = make_sparse_fused_sharded(mesh)
-        else:
+        elif sparse_layout == "coo":
             x = sk.from_scipy(mat, dtype=dtype)
             run_kwargs["fused"] = sk.make_sparse_fused()
+        else:
+            from ..ops import ell as ek
+            x = ek.from_scipy_ell(mat, dtype=dtype)
+            run_kwargs["fused"] = ek.make_ell_fused()
     else:
         raise ValueError(f"unknown backend {backend!r}")
     if suffstats is not None:

@@ -181,3 +181,49 @@ def test_assign_celltype_pvalue():
                              grp_prefix=(), p_value=True, nperm=50)
     assert set(out) == {"ES", "pvalue"}
     assert 0 <= out["pvalue"].iloc[0, 0] <= 1
+
+
+def test_smoother_matches_scipy_smoothing_spline():
+    # differential test of the Reinsch-form smoother against scipy's
+    # INDEPENDENT implementation (make_smoothing_spline, Woltring's
+    # GCV-spline lineage) at identical lambda: both minimize
+    # sum (y - f)^2 + lam * int f''^2 over natural cubic splines, so
+    # fitted values must agree (no R available for smooth.spline
+    # goldens; this pins the same spec from a second codebase)
+    from scipy.interpolate import make_smoothing_spline
+
+    from ccfindr_tpu.select import _smoother
+
+    rng = np.random.default_rng(0)
+    x = np.sort(rng.uniform(0, 10, 25))
+    y = np.sin(x) + 0.1 * rng.standard_normal(25)
+    for lam in (1e-3, 1e-1, 1.0, 10.0):
+        ours = _smoother(x, lam) @ y
+        sps = make_smoothing_spline(x, y, lam=lam)(x)
+        np.testing.assert_allclose(ours, sps, atol=1e-8)
+
+
+def test_spline_df_equals_trace_at_solution():
+    # the bisection's lambda must reproduce the requested equivalent
+    # degrees of freedom df = tr((I + lam*K)^-1)
+    from ccfindr_tpu.select import _smoother
+
+    rng = np.random.default_rng(1)
+    x = np.arange(2.0, 22.0)
+    y = np.log(x) + 0.05 * rng.standard_normal(20)
+    xs = (x - x[0]) / (x[-1] - x[0])
+    for df in (4.0, 7.0, 12.0):
+        _, fitted = smooth_spline_df(x, y, df)
+        # recover lambda by matching the fit, then check the trace
+        lo, hi = -12.0, 12.0
+        for _ in range(100):
+            mid = 0.5 * (lo + hi)
+            if np.trace(_smoother(xs, 10.0 ** mid)) > df:
+                lo = mid
+            else:
+                hi = mid
+        tr = np.trace(_smoother(xs, 10.0 ** (0.5 * (lo + hi))))
+        assert abs(tr - df) < 1e-6
+        np.testing.assert_allclose(
+            fitted, _smoother(xs, 10.0 ** (0.5 * (lo + hi))) @ y,
+            rtol=1e-10)

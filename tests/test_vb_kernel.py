@@ -179,3 +179,48 @@ def test_vb_run_vmap_batches_independently():
         assert int(solo.n_iter) == int(out.n_iter[i])
         np.testing.assert_allclose(float(solo.lml), float(out.lml[i]),
                                    rtol=1e-10)
+
+
+def test_trigamma_matches_polygamma():
+    # trigamma replaces jax polygamma(1,.) (Hurwitz-zeta based) inside
+    # hyper_update's Newton chain; must agree to near machine epsilon
+    from jax.scipy.special import polygamma
+
+    x = jnp.asarray(np.concatenate([
+        np.logspace(-3, 6, 500), np.linspace(0.3, 30, 500)]))
+    ref = np.asarray(polygamma(1, x))
+    got = np.asarray(vb_ops.trigamma(x))
+    np.testing.assert_allclose(got, ref, rtol=2e-14)
+    got32 = np.asarray(vb_ops.trigamma(x.astype(jnp.float32)),
+                       np.float64)
+    np.testing.assert_allclose(got32, ref, rtol=5e-7)
+
+
+def test_positive_step_closed_form_bit_exact():
+    # the closed-form halving must equal the reference's iterated
+    # while-halving (R/bayesian.R:28-35) bit-for-bit
+    rng = np.random.default_rng(5)
+    a0 = jnp.asarray(rng.gamma(1.0, 2.0, 20000) + 1e-6)
+    d = jnp.asarray(rng.standard_normal(20000)
+                    * np.exp(rng.uniform(-10, 500, 20000)))
+
+    def reference_halving(a0v, dv):
+        out = np.asarray(dv).copy()
+        a = np.asarray(a0v)
+        for i in range(len(out)):
+            while a[i] - out[i] <= 0:
+                out[i] /= 2.0
+        return out
+
+    def closed_form(a0, d):
+        k = jnp.maximum(jnp.floor(jnp.log2(d / a0)) + 1.0, 0.0)
+        k = jnp.where((d > 0) & jnp.isfinite(d), k, 0.0)
+        ki = jnp.clip(k, 0.0, 2100.0).astype(jnp.int32)
+        d2 = jnp.ldexp(d, -ki)
+        d2 = jnp.where(a0 - d2 <= 0, d2 * 0.5, d2)
+        over = (ki >= 1) & (d > 0) & (a0 - d2 * 2.0 > 0)
+        return jnp.where(over, d2 * 2.0, d2)
+
+    ref = reference_halving(a0, d)
+    got = np.asarray(closed_form(a0, d))
+    assert (ref == got).all()
