@@ -180,18 +180,19 @@ def _place_sharded(x, states, hypers, mesh):
     H-family cell-sharded, W-family replicated, restarts over 'runs'."""
     from jax.sharding import NamedSharding, PartitionSpec as P
 
+    from ..ops.ell import EllCounts
     from ..ops.sparse import SparseCounts
 
     axes = mesh.axis_names
     runs = "runs" if "runs" in axes else None
     cells = "cells" if "cells" in axes else None
 
-    if isinstance(x, SparseCounts):
-        # sharded COO layout: leaf arrays are (n_shards, nnz_loc_pad),
-        # one shard of nonzeros per device on the 'cells' axis
+    if isinstance(x, (SparseCounts, EllCounts)):
+        # sharded nonzero layouts: every leaf carries a leading
+        # shard axis, one shard of nonzeros per device on 'cells'
         x = jax.tree.map(
             lambda a: jax.device_put(
-                a, NamedSharding(mesh, P(cells, None))), x)
+                a, NamedSharding(mesh, P(cells))), x)
     else:
         x = jax.device_put(x, NamedSharding(mesh, P(None, cells)))
     specs = dict(ew=P(runs, None, None), eh=P(runs, None, cells),
@@ -326,10 +327,10 @@ def vb_factorize(object, ranks=2, nrun=1, verbose=2,
     * ``'pallas2pass'`` — separate Pallas suffstats/ELBO kernels
     * ``'sparse'``      — O(nnz*r) nonzero-only kernels (no
       densification anywhere).  ``sparse_layout`` picks the device
-      layout: ``'ell'`` (default off-mesh) — dual gather-only hybrid
-      ELL (ops.ell, ~4x the COO throughput: no XLA scatters);
-      ``'coo'`` — chunked COO scan (the mesh-sharded layout);
-      ``'auto'`` — ell off-mesh, coo under a mesh.
+      layout: ``'ell'`` (the ``'auto'`` default, single-device AND
+      cell-sharded mesh) — dual gather-only hybrid ELL (ops.ell,
+      ~3x the COO throughput: no XLA scatters); ``'coo'`` — chunked
+      COO scan.
 
     ``batch_ranks=True`` runs the ENTIRE rank sweep x restarts as one
     vmapped batch padded to max(ranks) with per-instance rank masks —
@@ -504,16 +505,20 @@ def vb_factorize(object, ranks=2, nrun=1, verbose=2,
         if sparse_layout not in ("auto", "ell", "coo"):
             raise ValueError(f"unknown sparse_layout {sparse_layout!r}")
         if mesh is not None and "cells" in mesh.axis_names:
-            if sparse_layout == "ell":
-                raise ValueError("sparse_layout='ell' is single-device"
-                                 "; use 'coo' (or 'auto') with a mesh")
-            # cell-sharded COO: each device scans only its own cells'
-            # nonzeros; psum of the n x r suffstat partial + scalar
+            # cell-sharded nonzeros: each device touches only its own
+            # cells'; psum of the n x r suffstat partial + scalar
             # ELBO (same collective pattern as the dense mesh path)
-            from ..parallel.sharded import make_sparse_fused_sharded
-            x = sk.from_scipy_sharded(mat, mesh.shape["cells"],
-                                      m_pad=m_pad, dtype=dtype)
-            run_kwargs["fused"] = make_sparse_fused_sharded(mesh)
+            if sparse_layout in ("auto", "ell"):
+                from ..ops import ell as ek
+                from ..parallel.sharded import make_ell_fused_sharded
+                x = ek.from_scipy_ell_sharded(mat, mesh.shape["cells"],
+                                              m_pad=m_pad, dtype=dtype)
+                run_kwargs["fused"] = make_ell_fused_sharded(mesh)
+            else:
+                from ..parallel.sharded import make_sparse_fused_sharded
+                x = sk.from_scipy_sharded(mat, mesh.shape["cells"],
+                                          m_pad=m_pad, dtype=dtype)
+                run_kwargs["fused"] = make_sparse_fused_sharded(mesh)
         elif sparse_layout == "coo":
             x = sk.from_scipy(mat, dtype=dtype)
             run_kwargs["fused"] = sk.make_sparse_fused()
@@ -527,6 +532,20 @@ def vb_factorize(object, ranks=2, nrun=1, verbose=2,
         run_kwargs["suffstats"] = suffstats
     if data_term is not None:
         run_kwargs["data_term"] = data_term
+
+    def _init_random_padded(kk, rank, h1):
+        # draw the random state at the TRUE cell count, then pad to
+        # the mesh's cell axis — so a padded mesh run consumes the
+        # exact same random stream as a single-device run (padded
+        # cells are masked to nothing inside vb_run either way)
+        st = vb_ops.vb_init_random(kk, n, m, rank, h1, dtype)
+        if m_pad != m:
+            pad = ((0, 0), (0, m_pad - m))
+            st = st._replace(eh=jnp.pad(st.eh, pad),
+                             dh=jnp.pad(st.dh, pad),
+                             lh=jnp.pad(st.lh, pad,
+                                        constant_values=1.0))
+        return st
 
     timings = Timings()
     nrank = len(ranks)
@@ -612,8 +631,7 @@ def vb_factorize(object, ranks=2, nrun=1, verbose=2,
         keys = keys_all[my_idx]
         h1 = Hyper(aw=aw0, bw=bw0, ah=ah0, bh=bh0)
         states = jax.vmap(
-            lambda kk: vb_ops.vb_init_random(kk, n, m_pad, rmax_, h1,
-                                             dtype))(keys)
+            lambda kk: _init_random_padded(kk, rmax_, h1))(keys)
         hyper0 = Hyper(aw=jnp.full((nb,), aw0, dtype),
                        bw=jnp.full((nb,), bw0, dtype),
                        ah=jnp.full((nb,), ah0, dtype),
@@ -698,13 +716,18 @@ def vb_factorize(object, ranks=2, nrun=1, verbose=2,
             keys = jax.random.split(sub, nrun)
             h1 = Hyper(aw=aw0, bw=bw0, ah=ah0, bh=bh0)
             states = jax.vmap(
-                lambda kk: vb_ops.vb_init_random(kk, n, m_pad, rank, h1,
-                                                 dtype))(keys)
+                lambda kk: _init_random_padded(kk, rank, h1))(keys)
         else:
             st = vb_ops.vb_init_svd(mat, rank,
                                     Hyper(aw=aw0, bw=bw0, ah=ah0, bh=bh0),
                                     variant=initializer, dtype=dtype,
                                     method=svd_method, seed=seed)
+            if m_pad != m:
+                pad = ((0, 0), (0, m_pad - m))
+                st = st._replace(eh=jnp.pad(st.eh, pad),
+                                 dh=jnp.pad(st.dh, pad),
+                                 lh=jnp.pad(st.lh, pad,
+                                            constant_values=1.0))
             states = jax.tree.map(lambda a: a[None], st)
 
         xdev = x

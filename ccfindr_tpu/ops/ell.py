@@ -69,7 +69,8 @@ class EllCounts(NamedTuple):
     def val(self):
         """All nonzero values exactly once (by-gene partition) — the
         hoisted ``sum lgamma(x+1)`` in ops.vb.vb_run reads this."""
-        return jnp.concatenate([self.gval.ravel(), self.gtval])
+        return jnp.concatenate([self.gval.ravel(),
+                                self.gtval.ravel()])
 
 
 def _ell_flatten(ec):
@@ -172,6 +173,97 @@ def from_dense_ell(x, dtype=jnp.float32, quantile: float = 0.98
 
     return from_scipy_ell(sp.csr_matrix(np.asarray(x)), dtype=dtype,
                           quantile=quantile)
+
+
+def from_scipy_ell_sharded(mat, n_shards: int, m_pad: int | None = None,
+                           dtype=jnp.float32, quantile: float = 0.98,
+                           lane: int = 128) -> EllCounts:
+    """Cell-sharded dual ELL: one shard's nonzeros per device.
+
+    Returns an EllCounts whose leaf arrays carry a leading
+    ``n_shards`` axis (laid out over the mesh's 'cells' axis) and
+    whose ``m`` is the LOCAL cell count ``m_pad // n_shards``; cell
+    indices are local to the shard.  Widths/blocks/tail lengths are
+    computed globally so every shard has identical static shapes.
+    Same collective pattern as ops.sparse.from_scipy_sharded: per
+    sweep each device gathers only its own cells' nonzeros; swn and
+    the ELBO term psum over 'cells', shn stays local
+    (parallel.sharded.make_ell_fused_sharded).
+    """
+    import scipy.sparse as sp
+
+    csr = sp.csr_matrix(mat)
+    csr.sum_duplicates()
+    csr.eliminate_zeros()
+    csc = csr.tocsc()
+    n, m = csc.shape
+    if m_pad is None:
+        m_pad = -(-m // n_shards) * n_shards
+    if m_pad % n_shards != 0:
+        raise ValueError(f"m_pad={m_pad} not divisible by {n_shards}")
+    m_loc = m_pad // n_shards
+    np_dtype = np.dtype(jnp.zeros((), dtype).dtype)
+
+    blocks = []
+    for s in range(n_shards):
+        j0, j1 = s * m_loc, min((s + 1) * m_loc, m)
+        blocks.append(sp.csr_matrix(csc[:, j0:max(j1, j0)]))
+
+    # global static widths: per-(gene, shard) and per-cell nnz counts
+    kg = _width(np.concatenate(
+        [np.diff(b.indptr) for b in blocks]), quantile, lane)
+    kc = _width(np.diff(csc.indptr), quantile, lane)
+    bn = _block(n, kg)
+    bm = _block(m_loc, kc)
+    n_pad, m_loc_pad = _round_up(n, bn), _round_up(m_loc, bm)
+
+    parts = []
+    for b in blocks:
+        gcol, gval, gtr, gtc, gtv = _ell_of(
+            b.indptr, b.indices, b.data, kg, m_loc, np_dtype)
+        gcol = np.pad(gcol, ((0, n_pad - n), (0, 0)),
+                      constant_values=m_loc)
+        gval = np.pad(gval, ((0, n_pad - n), (0, 0)))
+        bc = b.tocsc()
+        mb = bc.shape[1]
+        crow, cval, ctc, ctr, ctv = _ell_of(
+            bc.indptr, bc.indices, bc.data, kc, n, np_dtype)
+        crow = np.pad(crow, ((0, m_loc_pad - mb), (0, 0)),
+                      constant_values=n)
+        cval = np.pad(cval, ((0, m_loc_pad - mb), (0, 0)))
+        parts.append((gcol, gval, gtr, gtc, gtv,
+                      crow, cval, ctr, ctc, ctv))
+
+    # tails pad to the max length with discard-slot coordinates
+    # (idx_out = n or m_loc, val = 0 — contributes exactly nothing)
+    tg = max(len(p[2]) for p in parts)
+    tc = max(len(p[7]) for p in parts)
+
+    def _pad_tail(idx_out, idx_in, val, t, out_dummy, in_dummy):
+        pad = t - len(idx_out)
+        return (np.concatenate([idx_out,
+                                np.full(pad, out_dummy, np.int32)]),
+                np.concatenate([idx_in,
+                                np.full(pad, in_dummy, np.int32)]),
+                np.concatenate([val, np.zeros(pad, np_dtype)]))
+
+    st = {f: [] for f in ("gcol", "gval", "gtrow", "gtcol", "gtval",
+                          "crow", "cval", "ctrow", "ctcol", "ctval")}
+    for (gcol, gval, gtr, gtc, gtv,
+         crow, cval, ctr, ctc, ctv) in parts:
+        gtr, gtc, gtv = _pad_tail(gtr, gtc, gtv, tg, n, m_loc)
+        # by-cell tail: idx_out = cell (ctcol), idx_in = gene (ctrow)
+        ctc, ctr, ctv = _pad_tail(ctc, ctr, ctv, tc, m_loc, n)
+        for f, a in (("gcol", gcol), ("gval", gval), ("gtrow", gtr),
+                     ("gtcol", gtc), ("gtval", gtv), ("crow", crow),
+                     ("cval", cval), ("ctrow", ctr), ("ctcol", ctc),
+                     ("ctval", ctv)):
+            st[f].append(a)
+
+    j = jnp.asarray
+    return EllCounts(
+        **{f: j(np.stack(v)) for f, v in st.items()},
+        n=n, m=m_loc, bn=bn, bm=bm)
 
 
 def _tail_scan(idx_out, idx_in, tval, ext_out, ext_in, out_rows,

@@ -92,7 +92,7 @@ def _suffstats_kernel(x_ref, lw_ref, lh_ref, swn_ref, shn_ref):
 @functools.partial(jax.jit, static_argnames=("n", "m", "r", "bn", "bm"))
 def suffstats_pallas_padded(x_pad, lw, lh, *, n, m, r, bn, bm):
     np_, mp_ = x_pad.shape
-    rp_ = _round_up(max(r, 8), 128)
+    rp_ = _round_up(max(r, 8), 8)
     lw_p, lh_p = _pad_factors(lw, lh, np_, mp_, rp_)
     ni, nj = np_ // bn, mp_ // bm
     acc_t = jnp.promote_types(lw.dtype, jnp.float32)
@@ -169,7 +169,7 @@ def _elbo_kernel(x_ref, lw_ref, lh_ref, lwl_ref, lhl_ref, acc_ref):
 @functools.partial(jax.jit, static_argnames=("n", "m", "r", "bn", "bm"))
 def elbo_data_pallas_padded(x_pad, lw, lh, *, n, m, r, bn, bm):
     np_, mp_ = x_pad.shape
-    rp_ = _round_up(max(r, 8), 128)
+    rp_ = _round_up(max(r, 8), 8)
     lw_p, lh_p = _pad_factors(lw, lh, np_, mp_, rp_)
     # padded factor entries are 0 or 1 -> define l*log(l) = 0 there
     lwl = jnp.where(lw_p > 0, lw_p * jnp.log(

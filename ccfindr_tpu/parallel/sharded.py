@@ -105,6 +105,33 @@ def make_sparse_fused_sharded(mesh: Mesh, chunk: int = 1 << 16):
                  out_specs=(P(None, None), P(None, "cells"), P()))
 
 
+def make_ell_fused_sharded(mesh: Mesh):
+    """Fused ELL backend for ops.vb.vb_run(fused=...) over a
+    cell-sharded mesh — gather-only sparse, NO dense X anywhere.
+
+    ``x`` is an ops.ell.EllCounts built by
+    ``from_scipy_ell_sharded(csr, mesh.shape['cells'])``: every leaf
+    carries a leading shard axis over 'cells', cell indices local to
+    the shard.  Collectives are identical to the COO sharded path:
+    psum of the n x r swn partial and the scalar ELBO term (the
+    lw*log(lw) fold commutes with the psum by linearity); shn is
+    cell-local.
+    """
+    from ..ops import ell as ek
+
+    def local(x, lw, lh):
+        ec = jax.tree.map(lambda a: a[0], x)
+        swn, shn, dterm = ek.fused_ell(ec, lw, lh)
+        swn = jax.lax.psum(swn, "cells")
+        dterm = jax.lax.psum(dterm, "cells")
+        return swn, shn, dterm
+
+    return _smap(local, mesh,
+                 in_specs=(P("cells"), P(None, None),
+                           P(None, "cells")),
+                 out_specs=(P(None, None), P(None, "cells"), P()))
+
+
 def make_ml_sharded(mesh: Mesh, bn: int = None, bm: int = None):
     """(fused_h, fused_w) ML backends over a cell-sharded mesh.
 

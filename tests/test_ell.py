@@ -71,15 +71,50 @@ def test_vb_factorize_ell_matches_dense():
                                np.asarray(res_d.basis[0]), rtol=1e-6)
 
 
-def test_ell_layout_rejected_on_mesh():
+def test_fused_ell_sharded_matches_single_device():
+    # cell-sharded dual ELL under shard_map == unsharded fused_ell
+    import jax
+
+    from ccfindr_tpu.parallel.mesh import make_mesh
+    from ccfindr_tpu.parallel.sharded import make_ell_fused_sharded
+
+    x, lw, lh = _problem(n=24, m=64, r=3, seed=5)
+    n_sh = 4
+    mesh = make_mesh(cells=n_sh, devices=jax.devices()[:n_sh])
+    ec_s = ek.from_scipy_ell_sharded(sp.csr_matrix(x), n_sh,
+                                     dtype=jnp.float64, lane=8)
+    fused = make_ell_fused_sharded(mesh)
+    swn_s, shn_s, dt_s = jax.jit(fused)(ec_s, lw, lh)
+
+    ec = ek.from_scipy_ell(sp.csr_matrix(x), dtype=jnp.float64,
+                           lane=8)
+    swn, shn, dt = ek.fused_ell(ec, lw, lh)
+    np.testing.assert_allclose(np.asarray(swn_s), np.asarray(swn),
+                               rtol=1e-10)
+    np.testing.assert_allclose(np.asarray(shn_s), np.asarray(shn),
+                               rtol=1e-10)
+    np.testing.assert_allclose(float(dt_s), float(dt), rtol=1e-10)
+
+
+def test_vb_factorize_ell_mesh_matches_single_device():
     import jax
 
     from ccfindr_tpu.parallel.mesh import make_mesh
 
-    rng = np.random.default_rng(1)
-    x = rng.poisson(2.0, (12, 16)).astype(np.float64) + 1
-    mesh = make_mesh(cells=2, devices=jax.devices()[:2])
-    with pytest.raises(ValueError, match="single-device"):
-        cf.vb_factorize(x, ranks=[2], nrun=1, Itmax=5, verbose=0,
-                        backend="sparse", sparse_layout="ell",
-                        mesh=mesh)
+    rng = np.random.default_rng(3)
+    x = (rng.random((20, 30)) < 0.4) * rng.poisson(3.0, (20, 30))
+    x = x.astype(np.float64)
+    x[x.sum(axis=1) == 0, 0] += 1
+    x[0, x.sum(axis=0) == 0] += 1
+    kw = dict(ranks=[3], nrun=2, Itmax=50, verbose=0, seed=4,
+              dtype=jnp.float64, backend="sparse")
+    mesh = make_mesh(cells=4, devices=jax.devices()[:4])
+    res_m = cf.vb_factorize(sp.csr_matrix(x), mesh=mesh,
+                            sparse_layout="ell", **kw)
+    res_1 = cf.vb_factorize(sp.csr_matrix(x), sparse_layout="ell",
+                            **kw)
+    np.testing.assert_allclose(
+        res_m.measure["lml"].to_numpy(),
+        res_1.measure["lml"].to_numpy(), rtol=1e-9)
+    np.testing.assert_allclose(np.asarray(res_m.coeff[0]),
+                               np.asarray(res_1.coeff[0]), rtol=1e-7)
