@@ -24,7 +24,8 @@ import time
 import numpy as np
 
 
-def _problem(n, m, r, dtype, density=None, x_dtype=None, seed=0):
+def _problem(n, m, r, dtype, density=None, x_dtype=None, seed=0,
+             tile_cells=None):
     """Planted-rank-r Poisson counts at mean 2.0.
 
     Unstructured Poisson noise (round-1's input) has no NMF structure,
@@ -32,36 +33,56 @@ def _problem(n, m, r, dtype, density=None, x_dtype=None, seed=0):
     99 iterations every sweep — an unrealistic ~2.5x throughput
     penalty.  Planted factors give the convergence behavior of real
     data (the hyper chain exits in a few iterations once warm).
+
+    ``tile_cells=K`` generates an (n, m/K) base block and tiles it K
+    times along cells: per-element-rate Poisson sampling runs at only
+    ~100 Melem/min, so the 2e9-element atlas config would otherwise
+    spend ~20 min in numpy generation for identical per-sweep work.
     """
     import jax.numpy as jnp
 
     rng = np.random.default_rng(seed)
-    mu = rng.gamma(0.5, 1.0, (n, r)) @ rng.gamma(0.5, 1.0, (r, m))
-    x = rng.poisson(mu * (2.0 * n * m / mu.sum()))
-    x = np.minimum(x, 127)      # one matrix for all configs, int8-safe
-    if density is not None:
-        x = x * (rng.random((n, m)) < density)
+    mb = m // tile_cells if tile_cells else m
+    wf = rng.gamma(0.5, 1.0, (n, r)).astype(np.float32)
+    hf = rng.gamma(0.5, 1.0, (r, mb)).astype(np.float32)
+    scale = 2.0 * n * mb / float(wf.sum(axis=0) @ hf.sum(axis=1))
+    # blockwise generation + int16 storage bound host memory
+    x = np.empty((n, mb), np.int16)
+    for i0 in range(0, n, 2048):
+        mu = (wf[i0:i0 + 2048] @ hf) * scale
+        blk = np.minimum(rng.poisson(mu), 127)   # int8-safe counts
+        if density is not None:
+            blk = blk * (rng.random(mu.shape) < density)
+        x[i0:i0 + 2048] = blk
+    if tile_cells:
+        x = np.tile(x, (1, tile_cells))
     w = jnp.asarray(rng.gamma(1.0, 1.0, size=(n, r)), dtype)
     h = jnp.asarray(rng.gamma(1.0, 1.0, size=(r, m)), dtype)
     return x, w, h
 
 
-def _sweep_rate(body, state, k1=64, k2=576, reps=3):
+def _sweep_rate(body, x, state, k1=64, k2=576, reps=3):
+    """body(x, carry) -> carry.  X is threaded as a jit ARGUMENT —
+    closing over it bakes it into the jaxpr as a constant, and
+    lowering/compiling a 2 GB constant (the 100k-cell atlas config)
+    takes tens of minutes; as an argument it is just a device buffer
+    (the production driver passes X as an argument too)."""
     import functools
 
     import jax
 
     @functools.partial(jax.jit, static_argnames=("k",))
-    def sweep_k(state, k):
-        return jax.lax.fori_loop(0, k, lambda i, st: body(st), state)
+    def sweep_k(x, state, k):
+        return jax.lax.fori_loop(0, k, lambda i, st: body(x, st),
+                                 state)
 
     def timed(k):
-        out = sweep_k(state, k)          # compile + warm
+        out = sweep_k(x, state, k)       # compile + warm
         jax.block_until_ready(out)
         best = float("inf")
         for _ in range(reps):
             t0 = time.perf_counter()
-            out = sweep_k(state, k)
+            out = sweep_k(x, state, k)
             jax.block_until_ready(out)
             best = min(best, time.perf_counter() - t0)
         return best
@@ -71,7 +92,8 @@ def _sweep_rate(body, state, k1=64, k2=576, reps=3):
 
 
 def bench_vb(n=4096, m=8192, r=16, backend="pallas_fused",
-             density=None, x_dtype=None, k=(64, 576)):
+             density=None, x_dtype=None, k=(64, 576),
+             tile_cells=None):
     """Device-side VB sweeps/sec for one backend/config."""
     import jax
     import jax.numpy as jnp
@@ -79,14 +101,20 @@ def bench_vb(n=4096, m=8192, r=16, backend="pallas_fused",
     from ccfindr_tpu.ops.vb import Hyper, VBState
 
     dtype = jnp.float32
-    x_np, w, h = _problem(n, m, r, dtype, density=density)
+    x_np, w, h = _problem(n, m, r, dtype, density=density,
+                          tile_cells=tile_cells)
     state = VBState(ew=w, eh=h, lw=w, lh=h, dw=jnp.zeros_like(w),
                     dh=jnp.zeros_like(h),
                     lkh=jnp.asarray(-jnp.inf, dtype))
     hyper = Hyper(*(jnp.asarray(v, dtype) for v in (1.0,) * 4))
     fudge = jnp.asarray(np.finfo(np.float32).eps, dtype)
-    lgx = jnp.sum(jax.scipy.special.gammaln(
-        jnp.asarray(x_np, dtype) + 1.0))
+    # hoisted sum(lgamma(x+1)) via a value histogram — counts are
+    # small ints, so this avoids materializing an n x m float array
+    # on device just for the constant (8 GB at the atlas config)
+    from scipy.special import gammaln as _gammaln
+    cnt = np.bincount(x_np.ravel(), minlength=2)
+    lgx = jnp.asarray(
+        float(cnt @ _gammaln(np.arange(len(cnt)) + 1.0)), dtype)
 
     if backend in ("pallas_fused", "pallas_fused_int8",
                    "pallas_fused_int16"):
@@ -115,7 +143,7 @@ def bench_vb(n=4096, m=8192, r=16, backend="pallas_fused",
     # empirical-Bayes hyper update (vb_run runs all three every sweep
     # at the default hyper_update_dn=1 — benching the kernel alone
     # overstated throughput ~3.5x before hyper_update was optimized)
-    def body(carry):
+    def body(x, carry):
         st, hy = carry
         swn, shn, dterm = fused(x, st.lw, st.lh)
         new, pending = vb_ops.posterior_update(
@@ -123,8 +151,60 @@ def bench_vb(n=4096, m=8192, r=16, backend="pallas_fused",
         hy2, _ = vb_ops.hyper_update((True,) * 4, new, hy)
         return (new._replace(lkh=(pending + dterm) / (n * m)), hy2)
 
-    return _sweep_rate(lambda c: body(c), (state, hyper),
-                       k1=k[0], k2=k[1])
+    return _sweep_rate(body, x, (state, hyper), k1=k[0], k2=k[1])
+
+
+def bench_ml(n=4096, m=8192, r=16, k=(32, 160)):
+    """ML (Lee-Seung) path: fused sweep + likelihood rate."""
+    import jax.numpy as jnp
+    from ccfindr_tpu.ops import ml as ml_ops
+    from ccfindr_tpu.ops.pallas import ml_kernels as mlk
+    from ccfindr_tpu.ops.pallas import pad_matrix
+
+    dtype = jnp.float32
+    x_np, w, h = _problem(n, m, r, dtype)
+    xp = pad_matrix(jnp.asarray(x_np, dtype))
+    fused_h, fused_w = mlk.make_ml_backend()
+    eps = jnp.asarray(np.finfo(np.float32).eps, dtype)
+
+    def body(x, carry):
+        w_, h_ = carry
+        hn, xlogwh = fused_h(x, w_, h_)
+        h2 = jnp.maximum(h_ * hn / jnp.sum(w_, axis=0)[:, None], eps)
+        wn = fused_w(x, w_, h2)
+        w2 = jnp.maximum(w_ * wn / jnp.sum(h2, axis=1)[None, :], eps)
+        return (w2 * (1.0 + 1e-12 * xlogwh), h2)
+
+    return _sweep_rate(body, xp, (w, h), k1=k[0], k2=k[1])
+
+
+def bench_convergence(n=4096, m=8192, r=16):
+    """Time-to-converged-ELBO (the second north-star metric): one
+    restart of vb_run on the planted problem, production backend,
+    reference defaults (tol=1e-5, hyper cadence n0=10/dn=1)."""
+    import jax
+    import jax.numpy as jnp
+    from ccfindr_tpu.ops import vb as vb_ops
+    from ccfindr_tpu.ops.pallas import make_fused_backend, pad_matrix
+    from ccfindr_tpu.ops.vb import Hyper
+
+    dtype = jnp.float32
+    x_np, w, h = _problem(n, m, r, dtype)
+    xp = pad_matrix(jnp.asarray(x_np, dtype))
+    hyper = Hyper(*(jnp.asarray(v, dtype) for v in (1.0,) * 4))
+    key = jax.random.PRNGKey(0)
+    st = vb_ops.vb_init_random(key, n, m, r, hyper, dtype)
+
+    def run():
+        return vb_ops.vb_run(xp, st, hyper, itmax=10000, tol=1e-5,
+                             fused=make_fused_backend(),
+                             m_true=m)
+    out = run()                              # compile + warm
+    jax.block_until_ready(out)
+    t0 = time.perf_counter()
+    out = run()
+    jax.block_until_ready(out)
+    return time.perf_counter() - t0, int(out.n_iter)
 
 
 def bench_cpu_reference(n=4096, m=8192, r=16, iters=3):
@@ -215,6 +295,22 @@ def main():
         sps = bench_vb(65536, 512, r, k=(32, 160))
         emit(f"vb_sweeps_per_sec_chip_n65536_m512_r{r}_genemajor",
              sps, "sweeps/s")
+        # 100k-cell atlas on ONE chip: int8 X (20k genes x 100k cells
+        # = 2 GB on device) — the scale BASELINE.md's atlas config
+        # targets, feasible single-chip via compressed dense storage
+        sps = bench_vb(20480, 100352, 20, backend="pallas_fused_int8",
+                       k=(2, 10), tile_cells=49)
+        emit("vb_sweeps_per_sec_chip_n20480_m100352_r20_xint8_atlas",
+             sps, "sweeps/s")
+        # ML (Lee-Seung) fused path
+        sps = bench_ml(n, m, r)
+        emit(f"ml_sweeps_per_sec_chip_n{n}_m{m}_r{r}", sps,
+             "sweeps/s")
+        # time-to-converged-ELBO, one restart, reference defaults
+        dt, nit = bench_convergence(n, m, r)
+        emit(f"vb_time_to_converged_elbo_n{n}_m{m}_r{r}", dt, "s")
+        emit(f"vb_sweeps_to_converged_elbo_n{n}_m{m}_r{r}", nit,
+             "sweeps")
         # bundled-dataset full rank scan
         try:
             dt, ropt = bench_workflow()

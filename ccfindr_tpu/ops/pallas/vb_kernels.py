@@ -316,8 +316,14 @@ def _fused_gm_kernel(x_ref, lw_ref, lh_ref, swn_ref, shn_ref, acc_ref):
 def _fused_layout(np_, mp_, rp_, itemsize=4):
     """'cm' (cell-major) unless swn's VMEM residency (n x 128 lanes
     physical) is the binding constraint and the gene-major shn
-    residency fits."""
-    budget = 10 * 2 ** 20
+    residency fits.
+
+    The budget is a quarter of v5e VMEM (128 MB): prefer cm whenever
+    it fits — Mosaic compile time for gm's full-array shn block grows
+    pathologically with the cell count (measured: 100k cells never
+    finished compiling in 25 min; cm compiled in 11 s), so gm is only
+    for huge GENE panels where cm's swn residency cannot fit."""
+    budget = 32 * 2 ** 20
     cm_resident = np_ * max(rp_, 128) * itemsize
     gm_resident = max(rp_, 8) * mp_ * itemsize
     if cm_resident <= budget or cm_resident <= gm_resident:
