@@ -11,15 +11,36 @@ from __future__ import annotations
 
 import json
 import os
+import warnings
 
 import numpy as np
 
 from .container import SCSet
 
 
+def _jsonable(v):
+    """Best-effort lossless JSON conversion: numpy scalars/arrays become
+    Python scalars/nested lists; anything json can't represent returns
+    the sentinel ``_DROP`` (caller warns instead of silently losing it)."""
+    if isinstance(v, np.generic):
+        v = v.item()
+    elif isinstance(v, np.ndarray):
+        v = v.tolist()
+    try:
+        json.dumps(v)
+        return v
+    except (TypeError, ValueError):
+        return _DROP
+
+
+_DROP = object()
+
+
 def save_checkpoint(obj: SCSet, path: str) -> str:
     """Persist factorization results (not the count matrix) to
-    ``path`` (.npz + .json)."""
+    ``path`` (.npz + .json).  All JSON-representable metadata (incl.
+    nested lists/dicts, e.g. the profiling timings) round-trips;
+    anything else triggers a warning rather than silent loss."""
     os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
     arrays = {}
     for k, rank in enumerate(obj.ranks):
@@ -29,11 +50,18 @@ def save_checkpoint(obj: SCSet, path: str) -> str:
         arrays[f"dcoeff_{rank}"] = np.asarray(obj.dcoeff[k])
     np.savez_compressed(path + ".npz", ranks=np.asarray(obj.ranks),
                         **arrays)
+    meta = {}
+    for k, v in obj.metadata.items():
+        jv = _jsonable(v)
+        if jv is _DROP:
+            warnings.warn(
+                f"checkpoint: metadata[{k!r}] ({type(v).__name__}) is "
+                "not JSON-serializable and was not saved", stacklevel=2)
+        else:
+            meta[k] = jv
     with open(path + ".json", "w") as f:
         json.dump({"measure": obj.measure.to_dict(orient="list"),
-                   "metadata": {k: v for k, v in obj.metadata.items()
-                                if isinstance(v, (int, float, str))}},
-                  f)
+                   "metadata": meta}, f)
     return path
 
 

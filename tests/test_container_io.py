@@ -148,11 +148,26 @@ def test_checkpoint_roundtrip(tmp_path, rng):
     s.coeff = [rng.random((2, 8))]
     s.dcoeff = [rng.random((2, 8))]
     s.measure = pd.DataFrame({"rank": [2], "lml": [-1.5]})
+    # non-scalar metadata (e.g. the profiling timings list) must
+    # round-trip losslessly; non-JSON-able values warn, not vanish
+    s.metadata["timings"] = [{"label": "sweep", "seconds": 0.5}]
+    s.metadata["np_scalar"] = np.float32(2.5)
+    s.metadata["unserializable"] = object()
     path = str(tmp_path / "ckpt")
-    cf.save_checkpoint(s, path)
-    s2 = cf.load_checkpoint(s, path)
+    import warnings as _w
+    with _w.catch_warnings(record=True) as rec:
+        _w.simplefilter("always")
+        cf.save_checkpoint(s, path)
+    assert any("unserializable" in str(r.message) for r in rec)
+    # resume scenario: fresh carrier (new process) — only what was
+    # persisted comes back
+    fresh = cf.SCSet(count=x)
+    s2 = cf.load_checkpoint(fresh, path)
     np.testing.assert_allclose(s2.basis[0], s.basis[0])
     assert s2.measure["lml"][0] == -1.5
+    assert s2.metadata["timings"] == [{"label": "sweep", "seconds": 0.5}]
+    assert s2.metadata["np_scalar"] == 2.5
+    assert "unserializable" not in s2.metadata
 
 
 def test_read_mtx_pattern_and_symmetric(tmp_path):
