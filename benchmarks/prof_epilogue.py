@@ -7,7 +7,10 @@ Times (device-side, differenced k-loops):
 
 Usage: PYTHONPATH=/root/repo:$PYTHONPATH python benchmarks/prof_epilogue.py
 """
+import sys
 import time
+
+sys.path.insert(0, "/root/repo")
 
 import jax
 import jax.numpy as jnp

@@ -262,64 +262,6 @@ def test_connectivity_running_mean_dispersion(capsys):
     assert vals[0] == pytest.approx(1.0)
 
 
-def test_multihost_partition_gather_selection(monkeypatch):
-    """Fakes 2 processes on one machine: each 'host' runs its
-    round-robin share of the (rank, run) grid, scalars are gathered
-    through a stubbed allgather, and BOTH hosts reconstruct the exact
-    single-host result (same measure table, same factors) —
-    partition -> gather -> selection -> winner exchange end-to-end
-    (reference Rmpi restart farm analog, R/bayesian.R:260-263)."""
-    from ccfindr_tpu.parallel import schedule
-
-    sim = cf.simulate_whx(nrow=24, ncol=36, rank=3, seed=77)
-    s = cf.SCSet(count=sim["x"])
-    kw = dict(ranks=[2, 3, 4], nrun=3, verbose=0, Itmax=300, seed=5)
-
-    ref = cf.vb_factorize(s, **kw)          # single-host oracle
-
-    # stub allgather: a shared store keyed by call sequence; each fake
-    # host deposits its row and reads whatever the others deposited
-    store = {}
-    current = {"pid": 0, "seq": 0}
-
-    def fake_allgather(arr):
-        idx = current["seq"]
-        current["seq"] += 1
-        store.setdefault(idx, {})[current["pid"]] = np.array(arr)
-        rows = []
-        for p in range(2):
-            if p in store[idx]:
-                rows.append(store[idx][p])
-            else:   # not yet deposited (first pass) — neutral filler
-                rows.append(np.full_like(np.array(arr), -np.inf)
-                            if np.issubdtype(np.array(arr).dtype,
-                                             np.floating)
-                            else np.zeros_like(np.array(arr)))
-        return np.stack(rows)
-
-    monkeypatch.setattr(schedule, "_allgather", fake_allgather)
-
-    def run_host(p):
-        current["pid"] = p
-        current["seq"] = 0
-        return cf.vb_factorize(s, _process_count=2, _process_id=p,
-                               **kw)
-
-    run_host(1)          # first pass deposits host-1 contributions
-    out0 = run_host(0)   # host 0 sees both -> correct global result
-    out1 = run_host(1)   # host 1 rerun sees both too
-
-    for out in (out0, out1):
-        assert out.ranks == ref.ranks
-        np.testing.assert_allclose(out.measure["lml"],
-                                   ref.measure["lml"], rtol=0, atol=0)
-        for k in range(len(ref.ranks)):
-            np.testing.assert_array_equal(out.basis[k], ref.basis[k])
-            np.testing.assert_array_equal(out.coeff[k], ref.coeff[k])
-    pd_cols = ["rank", "lml", "aw", "bw", "ah", "bh", "nunif"]
-    assert list(out0.measure.columns) == pd_cols
-
-
 def test_multihost_requires_random_init():
     sim = cf.simulate_whx(nrow=20, ncol=30, rank=2, seed=1)
     s = cf.SCSet(count=sim["x"])

@@ -1,0 +1,91 @@
+"""REAL multi-process verification of the multi-host path.
+
+Spawns 2 subprocess JAX CPU processes that join one
+``jax.distributed`` runtime (localhost Gloo coordinator) and run the
+same ``vb_factorize`` — the (rank, run) grid partitions across the
+processes, log evidences cross the process boundary through
+``multihost_utils.process_allgather``, and the winning factors
+replicate.  Both hosts must return results bit-identical to each
+other AND to a single-process run (reference Rmpi analog,
+R/bayesian.R:260-263).  No monkeypatching — this exercises the actual
+collective ordering across processes.
+"""
+
+import os
+import socket
+import subprocess
+import sys
+
+import numpy as np
+import ccfindr_tpu as cf
+from ccfindr_tpu.parallel._mh_worker import build_problem
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def _free_port():
+    with socket.socket() as s:
+        s.bind(("127.0.0.1", 0))
+        return s.getsockname()[1]
+
+
+def _spawn_workers(tmp_path, nproc, port, **kw):
+    """Launch nproc workers; return their .npz output paths."""
+    env = dict(os.environ)
+    # workers configure their own platform/flags; drop the parent's
+    env.pop("XLA_FLAGS", None)
+    env["PYTHONPATH"] = REPO + os.pathsep + env.get("PYTHONPATH", "")
+    procs, outs = [], []
+    args = []
+    for k, v in kw.items():
+        args += [f"--{k}", str(v)]
+    for pid in range(nproc):
+        out = str(tmp_path / f"host{pid}.npz")
+        outs.append(out)
+        procs.append(subprocess.Popen(
+            [sys.executable, "-m", "ccfindr_tpu.parallel._mh_worker",
+             "--pid", str(pid), "--nproc", str(nproc),
+             "--port", str(port), "--out", out, "--x64"] + args,
+            env=env, stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
+            text=True))
+    logs = []
+    for pr in procs:
+        try:
+            stdout, _ = pr.communicate(timeout=600)
+        except subprocess.TimeoutExpired:
+            for q in procs:
+                q.kill()
+            raise
+        logs.append(stdout)
+    for pid, (pr, log) in enumerate(zip(procs, logs)):
+        assert pr.returncode == 0, f"worker {pid} failed:\n{log}"
+    return outs
+
+
+def test_two_process_distributed_matches_single_host(tmp_path):
+    ranks, nrun, itmax, seed = [2, 3, 4], 3, 300, 5
+
+    # single-host oracle (in-process; conftest x64 matches --x64)
+    s = build_problem(cf)
+    ref = cf.vb_factorize(s, ranks=ranks, nrun=nrun, verbose=0,
+                          Itmax=itmax, seed=seed)
+
+    outs = _spawn_workers(
+        tmp_path, nproc=2, port=_free_port(),
+        ranks=",".join(map(str, ranks)), nrun=nrun, itmax=itmax,
+        seed=seed)
+
+    for path in outs:
+        got = np.load(path)
+        assert [int(r) for r in got["ranks"]] == ref.ranks
+        np.testing.assert_array_equal(got["lml"],
+                                      ref.measure["lml"].to_numpy())
+        for k, r in enumerate(ref.ranks):
+            np.testing.assert_array_equal(got[f"basis_{r}"],
+                                          ref.basis[k])
+            np.testing.assert_array_equal(got[f"coeff_{r}"],
+                                          ref.coeff[k])
+    # and both hosts agree bit-for-bit with each other
+    a, b = np.load(outs[0]), np.load(outs[1])
+    for key in a.files:
+        np.testing.assert_array_equal(a[key], b[key])
