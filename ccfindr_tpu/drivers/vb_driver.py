@@ -478,6 +478,7 @@ def vb_factorize(object, ranks=2, nrun=1, verbose=2,
                 f"storage_dtype {sd.name}; use a wider type")
         dev_dtype = sd
 
+    use_epi = False
     if backend == "dense":
         x = jnp.asarray(mat, dev_dtype)
     elif backend == "dense_fused":
@@ -492,8 +493,12 @@ def vb_factorize(object, ranks=2, nrun=1, verbose=2,
             x = jnp.asarray(mat, dev_dtype)
             run_kwargs["fused"] = make_fused_sharded(mesh)
         else:
+            # single-device production path: the ALL-Pallas sweep
+            # (X-pass kernel + posterior-epilogue kernels,
+            # ops/pallas/epilogue.py) — no eager XLA per-sweep work
+            # beyond the scalar hyper Newton
             x = pk.pad_matrix(jnp.asarray(mat, dev_dtype))
-            run_kwargs["fused"] = pk.make_fused_backend()
+            use_epi = True
     elif backend == "pallas2pass":
         from ..ops import pallas as pk
         x = pk.pad_matrix(jnp.asarray(mat, dtype))
@@ -530,8 +535,21 @@ def vb_factorize(object, ranks=2, nrun=1, verbose=2,
         raise ValueError(f"unknown backend {backend!r}")
     if suffstats is not None:
         run_kwargs["suffstats"] = suffstats
+        use_epi = False
     if data_term is not None:
         run_kwargs["data_term"] = data_term
+        use_epi = False
+
+    run_fn = vb_ops.vb_run
+    if use_epi:
+        from ..ops.pallas import epilogue as _epi
+        from ..ops.pallas.vb_kernels import (_fused_layout,
+                                             _round_up as _ru)
+        _layout = _fused_layout(x.shape[0], x.shape[1],
+                                _ru(max(max(ranks), 8), 8))
+
+        def run_fn(xx, st, hy, **kw):
+            return _epi.vb_run_epi(xx, st, hy, layout=_layout, **kw)
 
     def _init_random_padded(kk, rank, h1):
         # draw the random state at the TRUE cell count, then pad to
@@ -645,7 +663,7 @@ def vb_factorize(object, ranks=2, nrun=1, verbose=2,
             xdev, states, hyper0 = _place_sharded(x, states, hyper0,
                                                   mesh)
         batched = jax.vmap(
-            lambda st, hy, rm, rt, l0, im, i0: vb_ops.vb_run(
+            lambda st, hy, rm, rt, l0, im, i0: run_fn(
                 xdev, st, hy, rank_mask=rm, r_true=rt, itmax=im,
                 it0=i0, lk0_init=l0, **run_kwargs),
             in_axes=(0, 0, 0, 0, 0, None, None))
@@ -735,7 +753,7 @@ def vb_factorize(object, ranks=2, nrun=1, verbose=2,
             xdev, states, hyper0 = _place_sharded(x, states, hyper0, mesh)
 
         batched = jax.vmap(
-            lambda st, hy, l0, im, i0: vb_ops.vb_run(
+            lambda st, hy, l0, im, i0: run_fn(
                 xdev, st, hy, itmax=im, it0=i0, lk0_init=l0,
                 **run_kwargs),
             in_axes=(0, 0, 0, None, None))

@@ -31,8 +31,9 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from .vb_kernels import (DEFAULT_BN, DEFAULT_BM, _interpret, _round_up,
-                         _pad_factors, pad_matrix)
+from .vb_kernels import (DEFAULT_BN, DEFAULT_BM, _interpret,
+                         _pad_factors, _recip_mul, _round_up,
+                         pad_matrix)
 
 
 def _ml_h_kernel(x_ref, w_ref, h_ref, hn_ref, acc_ref, *, bn):
@@ -41,9 +42,9 @@ def _ml_h_kernel(x_ref, w_ref, h_ref, hn_ref, acc_ref, *, bn):
     acc_t = jnp.promote_types(w_ref.dtype, jnp.float32)
     w = w_ref[pl.ds(i * bn, bn), :]
     h = h_ref[...]
-    x = x_ref[...]
+    x = x_ref[...].astype(w.dtype)
     wh = jnp.dot(w, h, preferred_element_type=acc_t)
-    a = (x / wh).astype(w.dtype)
+    a = _recip_mul(x, wh.astype(w.dtype)).astype(w.dtype)
 
     @pl.when((i == 0) & (j == 0))
     def _():
@@ -65,8 +66,9 @@ def _ml_w_kernel(x_ref, w_ref, h_ref, wn_ref, *, bn):
     acc_t = jnp.promote_types(w_ref.dtype, jnp.float32)
     w = w_ref[pl.ds(i * bn, bn), :]
     h = h_ref[...]
+    x = x_ref[...].astype(w.dtype)
     wh = jnp.dot(w, h, preferred_element_type=acc_t)
-    a = (x_ref[...] / wh).astype(w.dtype)
+    a = _recip_mul(x, wh.astype(w.dtype)).astype(w.dtype)
 
     @pl.when((i == 0) & (j == 0))
     def _():

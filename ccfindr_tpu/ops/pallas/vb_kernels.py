@@ -42,6 +42,25 @@ def _interpret() -> bool:
     return jax.default_backend() not in ("tpu", "axon")
 
 
+def _recip_mul(x, wth):
+    """x / wth via the hardware reciprocal approximation (f32 TPU
+    production path only; f64 and interpret mode use exact division).
+
+    Measured on v5e at the north-star shape: the exact f32 divide
+    costs ~33 us/sweep of VPU time that the approx reciprocal
+    eliminates entirely (215 -> 182 us, the kernel's mul floor).  Its
+    ~6e-5 relative error is 20x BELOW the noise the default-precision
+    (1-pass bf16) MXU GEMMs already inject into wth = lw @ lh, so the
+    sufficient statistics lose no accuracy that the GEMM hasn't
+    already spent — and CAVI is a fixed-point iteration: per-sweep
+    perturbations at this level shift the converged posterior by
+    far less than restart-to-restart variation (benchmarks/
+    prof_reciprocal.py)."""
+    if wth.dtype == jnp.float32 and not _interpret():
+        return x * pl.reciprocal(wth, approx=True)
+    return x / wth
+
+
 def _round_up(v: int, mult: int) -> int:
     return -(-v // mult) * mult
 
@@ -258,7 +277,7 @@ def _fused_cm_kernel(x_ref, lw_ref, lh_ref, swn_ref, shn_ref, acc_ref):
     lh = lh_ref[...]
     x = x_ref[...].astype(lw.dtype)
     wth = jnp.dot(lw, lh, preferred_element_type=acc_t)
-    u = (x / wth).astype(lw.dtype)
+    u = _recip_mul(x, wth.astype(lw.dtype)).astype(lw.dtype)
 
     @pl.when((i == 0) & (j == 0))
     def _():
@@ -294,7 +313,7 @@ def _fused_gm_kernel(x_ref, lw_ref, lh_ref, swn_ref, shn_ref, acc_ref):
     lh = lh_ref[...]
     x = x_ref[...].astype(lw.dtype)
     wth = jnp.dot(lw, lh, preferred_element_type=acc_t)
-    u = (x / wth).astype(lw.dtype)
+    u = _recip_mul(x, wth.astype(lw.dtype)).astype(lw.dtype)
 
     @pl.when((i == 0) & (j == 0))
     def _():
@@ -329,6 +348,70 @@ def _fused_layout(np_, mp_, rp_, itemsize=4):
     if cm_resident <= budget or cm_resident <= gm_resident:
         return "cm"
     return "gm"
+
+
+@functools.partial(jax.jit, static_argnames=("bn", "bm", "layout"))
+def fused_pallas_raw(x_pad, lw_p, lh_p, *, bn=DEFAULT_BN,
+                     bm=DEFAULT_BM, layout="cm"):
+    """X-pass on ALREADY-PADDED factors, returning PADDED outputs.
+
+    For the Pallas-epilogue loop (ops/pallas/epilogue.py), where
+    factors stay padded across the whole convergence loop: returns
+    (swn_p (np, rp), shn_p (rp, mp), xlog scalar) with no slicing and
+    no dterm fold (the epilogue kernels fold it from the padded
+    arrays)."""
+    np_, mp_ = x_pad.shape
+    rp_ = lw_p.shape[1]
+    ni, nj = np_ // bn, mp_ // bm
+    acc_t = jnp.promote_types(lw_p.dtype, jnp.float32)
+
+    if layout == "cm":
+        kernel, grid = _fused_cm_kernel, (nj, ni)
+        x_idx = lambda j, i: (i, j)      # noqa: E731
+        lw_idx = lambda j, i: (i, 0)     # noqa: E731
+        lh_idx = lambda j, i: (0, j)     # noqa: E731
+        swn_spec = pl.BlockSpec((np_, rp_), lambda j, i: (0, 0),
+                                memory_space=pltpu.VMEM)
+        shn_spec = pl.BlockSpec((rp_, bm), lambda j, i: (0, j),
+                                memory_space=pltpu.VMEM)
+        acc_idx = lambda j, i: (0, 0)    # noqa: E731
+    else:
+        kernel, grid = _fused_gm_kernel, (ni, nj)
+        x_idx = lambda i, j: (i, j)      # noqa: E731
+        lw_idx = lambda i, j: (i, 0)     # noqa: E731
+        lh_idx = lambda i, j: (0, j)     # noqa: E731
+        swn_spec = pl.BlockSpec((bn, rp_), lambda i, j: (i, 0),
+                                memory_space=pltpu.VMEM)
+        shn_spec = pl.BlockSpec((rp_, mp_), lambda i, j: (0, 0),
+                                memory_space=pltpu.VMEM)
+        acc_idx = lambda i, j: (0, 0)    # noqa: E731
+
+    swn, shn, acc = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((bn, bm), x_idx, memory_space=pltpu.VMEM),
+            pl.BlockSpec((bn, rp_), lw_idx, memory_space=pltpu.VMEM),
+            pl.BlockSpec((rp_, bm), lh_idx, memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            swn_spec,
+            shn_spec,
+            pl.BlockSpec((1, 1), acc_idx, memory_space=pltpu.SMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((np_, rp_), acc_t),
+            jax.ShapeDtypeStruct((rp_, mp_), acc_t),
+            jax.ShapeDtypeStruct((1, 1), acc_t),
+        ],
+        cost_estimate=pl.CostEstimate(
+            flops=2 * 3 * np_ * mp_ * rp_,
+            bytes_accessed=np_ * mp_ * x_pad.dtype.itemsize,
+            transcendentals=np_ * mp_,
+        ),
+        interpret=_interpret(),
+    )(x_pad, lw_p, lh_p)
+    return swn, shn, acc[0, 0]
 
 
 @functools.partial(jax.jit, static_argnames=("n", "m", "r", "bn", "bm",

@@ -189,3 +189,166 @@ def test_vb_run_fused_rank_and_cell_masks():
     assert float(eager.lml) == float(fused.lml)
     np.testing.assert_array_equal(np.asarray(eager.state.ew),
                                   np.asarray(fused.state.ew))
+
+
+# ---------------------------------------------------------------------
+# Pallas posterior epilogue (ops/pallas/epilogue.py)
+# ---------------------------------------------------------------------
+
+def test_posterior_update_pallas_matches_eager():
+    """The W/H epilogue kernels reproduce ops.vb.posterior_update on
+    padded arrays: factors, the U2/U3 ELBO partials, the dterm fold
+    partials, and the hyper-update mean numerators."""
+    from ccfindr_tpu.ops.pallas import epilogue as ep
+    from ccfindr_tpu.ops.pallas import vb_kernels as pk
+    from ccfindr_tpu.ops.vb import Hyper, VBState
+
+    n, m, r = 20, 27, 3
+    bn, bm = 8, 8
+    x, lw, lh = _problem(n, m, r, seed=3)
+    st = VBState(ew=lw, eh=lh, lw=lw, lh=lh, dw=jnp.zeros_like(lw),
+                 dh=jnp.zeros_like(lh),
+                 lkh=jnp.asarray(-jnp.inf, lw.dtype))
+    hyper = Hyper(*(jnp.asarray(v, lw.dtype)
+                    for v in (0.7, 1.3, 1.1, 0.9)))
+    fudge = jnp.asarray(np.finfo(np.float64).eps, lw.dtype)
+
+    # eager oracle
+    swn, shn, dterm = vb_ops.fused_dense(x, lw, lh)
+    new, pending = vb_ops.posterior_update(
+        lw * swn, lh * shn, st, hyper, fudge, jnp.asarray(0.0))
+
+    # pallas epilogue on padded arrays
+    xp = pk.pad_matrix(x, bn, bm)
+    np_, mp_ = xp.shape
+    rp_ = 8
+    lw_p, lh_p = pk._pad_factors(lw, lh, np_, mp_, rp_)
+    swn_p, shn_p, xlog = pk.fused_pallas_raw(xp, lw_p, lh_p,
+                                             bn=bn, bm=bm)
+    ehs = jnp.zeros((8, rp_), lw.dtype).at[0, :r].set(
+        jnp.sum(st.eh, axis=1))
+    out = ep.posterior_update_pallas(
+        swn_p, shn_p, lw_p, lh_p, ehs,
+        jnp.stack(list(hyper)), fudge, n=n, m=m, r=r, bn=bn, bm=bm)
+
+    for f in ["ew", "eh", "lw", "lh", "dw", "dh"]:
+        got = np.asarray(out[f])
+        got = got[:n, :r] if f in ("ew", "lw", "dw") else got[:r, :m]
+        np.testing.assert_allclose(got, np.asarray(getattr(new, f)),
+                                   rtol=1e-10, err_msg=f)
+    # ELBO partials: pending = u1 + u2 + u3 with u1 from csum/rsum
+    u1 = -float(jnp.dot(out["csum"][0], out["rsum"][0]))
+    aw, bw, ah, bh = (float(v) for v in hyper)
+    from scipy.special import gammaln as sgl
+    cw = n * r * (aw * np.log(aw / bw) - sgl(aw))
+    ch = r * m * (ah * np.log(ah / bh) - sgl(ah))
+    got_pending = u1 + float(out["u2"]) + cw + float(out["u3"]) + ch
+    np.testing.assert_allclose(got_pending, float(pending), rtol=1e-10)
+    # deferred-ELBO fold partials reproduce fold_dterm
+    from ccfindr_tpu.ops.pallas.vb_kernels import fold_dterm
+    want_fold = float(fold_dterm(swn_p[:n, :r], shn_p[:r, :m], lw, lh,
+                                 xlog))
+    got_fold = float(-(out["dterm_w"] + out["dterm_h"]) + xlog)
+    np.testing.assert_allclose(got_fold, want_fold, rtol=1e-10)
+    # hyper means
+    np.testing.assert_allclose(float(out["sum_ew"]) / (n * r),
+                               float(jnp.mean(new.ew)), rtol=1e-10)
+    np.testing.assert_allclose(float(out["sum_log_lw"]) / (n * r),
+                               float(jnp.mean(jnp.log(new.lw))),
+                               rtol=1e-10)
+    np.testing.assert_allclose(float(out["sum_eh"]) / (r * m),
+                               float(jnp.mean(new.eh)), rtol=1e-10)
+    np.testing.assert_allclose(float(out["sum_log_lh"]) / (r * m),
+                               float(jnp.mean(jnp.log(new.lh))),
+                               rtol=1e-10)
+
+
+def test_vb_run_epi_matches_eager_fused_loop():
+    """Full convergence loop with the Pallas posterior epilogue: same
+    n_iter, same recorded lml, same factors and hypers as the eager
+    fused loop (up to digamma_approx/gammaln_approx, < 1e-12 rel in
+    f64)."""
+    from ccfindr_tpu.ops.pallas import epilogue as ep
+    from ccfindr_tpu.ops.pallas import vb_kernels as pk
+    from ccfindr_tpu.ops.vb import Hyper, VBState
+
+    import ccfindr_tpu as cf
+
+    sim = cf.simulate_whx(nrow=24, ncol=36, rank=3, seed=7)
+    x = np.asarray(sim["x"], np.float64)
+    n, m = x.shape
+    r = 4
+    rng = np.random.default_rng(0)
+    w = jnp.asarray(rng.gamma(1.0, 1.0, (n, r)))
+    h = jnp.asarray(rng.gamma(1.0, 1.0, (r, m)))
+    st = VBState(ew=w, eh=h, lw=w, lh=h, dw=jnp.zeros_like(w),
+                 dh=jnp.zeros_like(h),
+                 lkh=jnp.asarray(-jnp.inf, jnp.float64))
+    hy = Hyper(*(jnp.asarray(v, jnp.float64) for v in (1.,) * 4))
+    xj = jnp.asarray(x)
+
+    ref = vb_ops.vb_run(xj, st, hy, itmax=200, tol=1e-5,
+                        fused=vb_ops.fused_dense)
+    bn, bm = 8, 8
+    xp = pk.pad_matrix(xj, bn, bm)
+    got = ep.vb_run_epi(xp, st, hy, itmax=200, tol=1e-5, bn=bn,
+                        bm=bm, m_true=m)
+    assert int(got.n_iter) == int(ref.n_iter)
+    np.testing.assert_allclose(float(got.lml), float(ref.lml),
+                               rtol=1e-9)
+    for f in ["ew", "eh", "lw", "lh", "dw", "dh"]:
+        np.testing.assert_allclose(np.asarray(getattr(got.state, f)),
+                                   np.asarray(getattr(ref.state, f)),
+                                   rtol=1e-7, err_msg=f)
+    for f in ["aw", "bw", "ah", "bh"]:
+        np.testing.assert_allclose(float(getattr(got.hyper, f)),
+                                   float(getattr(ref.hyper, f)),
+                                   rtol=1e-9)
+
+
+def test_vb_run_epi_vmapped_rank_masks():
+    """Batched rank sweep through the all-Pallas loop: vmapped
+    instances at ranks 3..5 padded to rmax with per-instance rank
+    masks reproduce the eager fused loop instance-for-instance."""
+    from ccfindr_tpu.ops.pallas import epilogue as ep
+    from ccfindr_tpu.ops.pallas import vb_kernels as pk
+    from ccfindr_tpu.ops.vb import Hyper, VBState
+
+    import ccfindr_tpu as cf
+
+    sim = cf.simulate_whx(nrow=24, ncol=36, rank=3, seed=7)
+    x = np.asarray(sim["x"], np.float64)
+    n, m = x.shape
+    rmax = 5
+    ranks = [3, 4, 5]
+    B = len(ranks)
+    rng = np.random.default_rng(0)
+    w = jnp.asarray(rng.gamma(1.0, 1.0, (B, n, rmax)))
+    h = jnp.asarray(rng.gamma(1.0, 1.0, (B, rmax, m)))
+    sts = VBState(ew=w, eh=h, lw=w, lh=h, dw=jnp.zeros_like(w),
+                  dh=jnp.zeros_like(h), lkh=jnp.full((B,), -jnp.inf))
+    hys = Hyper(*(jnp.ones((B,)) for _ in range(4)))
+    rmask = jnp.asarray((np.arange(rmax)[None, :]
+                         < np.asarray(ranks)[:, None]
+                         ).astype(np.float64))
+    rtrue = jnp.asarray(np.asarray(ranks, np.float64))
+    xj = jnp.asarray(x)
+
+    ref = jax.vmap(lambda st, hy, rm, rt: vb_ops.vb_run(
+        xj, st, hy, itmax=150, tol=1e-5, rank_mask=rm, r_true=rt,
+        fused=vb_ops.fused_dense))(sts, hys, rmask, rtrue)
+
+    bn, bm = 8, 8
+    xp = pk.pad_matrix(xj, bn, bm)
+    got = jax.vmap(lambda st, hy, rm, rt: ep.vb_run_epi(
+        xp, st, hy, itmax=150, tol=1e-5, bn=bn, bm=bm,
+        rank_mask=rm, r_true=rt, m_true=m))(sts, hys, rmask, rtrue)
+
+    np.testing.assert_array_equal(np.asarray(got.n_iter),
+                                  np.asarray(ref.n_iter))
+    np.testing.assert_allclose(np.asarray(got.lml),
+                               np.asarray(ref.lml), rtol=1e-9)
+    for f in ["ew", "eh", "lw", "lh", "dw", "dh"]:
+        np.testing.assert_allclose(np.asarray(getattr(got.state, f)),
+                                   np.asarray(getattr(ref.state, f)),
+                                   rtol=1e-6, err_msg=f)

@@ -224,3 +224,24 @@ def test_positive_step_closed_form_bit_exact():
     ref = reference_halving(a0, d)
     got = np.asarray(closed_form(a0, d))
     assert (ref == got).all()
+
+
+def test_digamma_gammaln_approx_match_scipy():
+    """The Pallas-lowerable special functions (recurrence + Bernoulli
+    series) match scipy to float64 precision over the gamma-shape
+    domain (ops/vb.py digamma_approx/gammaln_approx)."""
+    from scipy.special import digamma as sdg, gammaln as sgl
+
+    from ccfindr_tpu.ops.vb import digamma_approx, gammaln_approx
+
+    x = np.concatenate([np.logspace(-4, 9, 2000),
+                        np.linspace(0.01, 50, 2000)])
+    for mine, ref in [(digamma_approx, sdg), (gammaln_approx, sgl)]:
+        got = np.asarray(mine(jnp.asarray(x)))
+        want = ref(x)
+        # relative where |f| > 1, absolute near the function zeros
+        err = np.abs(got - want) / np.maximum(np.abs(want), 1.0)
+        assert err.max() < 1e-11, (ref.__name__, err.max())
+        got32 = np.asarray(mine(jnp.asarray(x, jnp.float32)))
+        err32 = np.abs(got32 - want) / np.maximum(np.abs(want), 1.0)
+        assert err32.max() < 2e-5, (ref.__name__, err32.max())
