@@ -194,3 +194,23 @@ def test_read_mtx_pattern_and_symmetric(tmp_path):
     bad.write_text("%%MatrixMarket matrix array real general\n3 3\n")
     with pytest.raises(ValueError, match="'array'"):
         cf.read_mtx(str(bad))
+
+
+def test_has_mode_rows_matches_scalar_loop(rng):
+    """Vectorized rescue-mode detection == per-gene has_mode on dense
+    rows (incl. all-zero rows, dense rows with no zeros, and rows with
+    a single distinct value)."""
+    import scipy.sparse as sp
+
+    from ccfindr_tpu.qc import has_mode, has_mode_rows
+
+    n, m = 60, 40
+    x = rng.poisson(1.2, size=(n, m))
+    x[rng.random((n, m)) < 0.5] = 0
+    x[0] = 0                       # all-zero row
+    x[1] = 3                       # constant nonzero row (no zeros)
+    x[2] = rng.poisson(4.0, m) + 1  # dense row, no zeros
+    csr = sp.csr_matrix(x)
+    got = has_mode_rows(csr)
+    want = np.array([has_mode(x[i]) for i in range(n)])
+    np.testing.assert_array_equal(got, want)

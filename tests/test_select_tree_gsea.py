@@ -227,3 +227,42 @@ def test_spline_df_equals_trace_at_solution():
         np.testing.assert_allclose(
             fitted, _smoother(xs, 10.0 ** (0.5 * (lo + hi))) @ y,
             rtol=1e-10)
+
+
+def test_gsea_perm_pvalues_match_serial_estimator():
+    """The batched permutation scorer estimates the same null
+    distribution as a serial re-scoring loop (agreement within Monte
+    Carlo error)."""
+    import pandas as pd
+
+    from ccfindr_tpu.gsea import (_gsea_perm_pvalues, gsea_scores)
+
+    rng = np.random.default_rng(5)
+    genes = [f"G{i}" for i in range(60)]
+    rank = 2
+    glist = pd.DataFrame({
+        f"l{k}": rng.permutation(genes) for k in range(rank)})
+    gwgt = pd.DataFrame({
+        f"w{k}": np.sort(rng.random(60))[::-1] for k in range(rank)})
+    gset = {"setA": [f"G{i}" for i in range(0, 12)],
+            "setB": [f"G{i}" for i in range(30, 40)]}
+    es = gsea_scores(glist, gwgt, gset, p=1.0, grp_prefix=())
+
+    nperm = 1500
+    fast = _gsea_perm_pvalues(glist, gwgt, gset, es, p=1.0,
+                              nperm=nperm, grp_prefix=(), seed=1)
+    # serial oracle: re-score row-permuted tables
+    srng = np.random.default_rng(2)
+    ep = np.zeros_like(es.to_numpy())
+    for _ in range(nperm):
+        perm = srng.permutation(len(glist))
+        x = gsea_scores(glist.iloc[perm].reset_index(drop=True),
+                        gwgt.iloc[perm].reset_index(drop=True),
+                        gset, p=1.0, grp_prefix=())
+        ep += (es.to_numpy() < x.to_numpy())
+    slow = ep / nperm
+    np.testing.assert_allclose(fast.to_numpy(), slow, atol=0.06)
+    # determinism
+    again = _gsea_perm_pvalues(glist, gwgt, gset, es, p=1.0,
+                               nperm=nperm, grp_prefix=(), seed=1)
+    np.testing.assert_array_equal(fast.to_numpy(), again.to_numpy())
