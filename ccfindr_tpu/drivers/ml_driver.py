@@ -44,7 +44,10 @@ def factorize(object, ranks=2, nrun=20, randomize=False, nsmpl=1,
               store_connectivity=False, dtype=None, seed=0,
               backend="dense", mesh=None, batch_ranks="auto",
               prior=False, gamma_a=1.0, gamma_b=1.0,
-              cophenetic_max_cells=10000):
+              cophenetic_max_cells=10000, cophenetic_nsub=3,
+              storage_dtype=None, sparse_layout="auto",
+              distributed="auto", _process_count=None,
+              _process_id=None):
     """ML (Lee–Seung KL) NMF over a rank sweep.
 
     Mirrors reference factorize parameters (R/factorize.R:139-143).
@@ -57,6 +60,13 @@ def factorize(object, ranks=2, nrun=20, randomize=False, nsmpl=1,
     * ``'dense'``       — eager XLA loop (parity oracle)
     * ``'dense_fused'`` — XLA, deferred-likelihood 2-passes-over-X loop
     * ``'pallas'``      — fused single-pass H/W Pallas kernels
+    * ``'sparse'``      — O(nnz*r) nonzero-only phases, no
+      densification (``sparse_layout``: 'ell' — the 'auto' default,
+      dual gather-only hybrid ELL, ops.ell.ell_ml_h/ell_ml_w)
+
+    ``storage_dtype`` stores X on device as int8/int16 (dense layouts
+    only): 4x/2x less X HBM traffic with exact math, mirroring
+    vb_factorize.
 
     ``mesh`` shards X and H over the mesh's 'cells' axis (W stays
     replicated): 'dense'/'dense_fused' partition via GSPMD, 'pallas'
@@ -66,6 +76,22 @@ def factorize(object, ranks=2, nrun=20, randomize=False, nsmpl=1,
     padded vmapped batch (one compilation, one device loop); 'auto'
     batches whenever there are multiple ranks.  ``prior=True`` enables
     the gamma-prior MAP update terms with ``gamma_a``/``gamma_b``.
+
+    **Multi-host** (mirroring vb_factorize): under a multi-process
+    JAX runtime the (sample, rank) item grid round-robin partitions
+    across processes; each host runs ALL ``nrun`` restarts of its
+    items (the consensus statistic needs every restart's assignment,
+    so restarts stay host-local), per-item measures all-gather, and
+    each item's best-likelihood factors replicate from the owner.
+    Every host returns the identical SCSet, equal to a single-process
+    run with the same seed.  Requires ``batch_ranks`` (forced on).
+
+    Above ``cophenetic_max_cells`` cells, the cophenetic correlation
+    switches to a subsampled estimator (``cophenetic_nsub`` random
+    subsets of that size, each scored exactly; mean reported in the
+    measure table, per-draw standard errors in
+    ``metadata['cophenetic_se']``) instead of materializing the full
+    m(m-1)/2 consensus (reference R/factorize.R:69-78 always does).
     """
     if np.isscalar(ranks):
         ranks = [int(ranks)]
@@ -77,12 +103,46 @@ def factorize(object, ranks=2, nrun=20, randomize=False, nsmpl=1,
         obj = object
     else:
         obj = SCSet(count=object, remove_zeros=False)
-    mat0 = obj.counts_dense(dtype=np.dtype(dtype))
-    n, m = mat0.shape
-    if (mat0.sum(axis=1) == 0).any():
-        raise ValueError("Input matrix contains empty rows")
-    if (mat0.sum(axis=0) == 0).any():
-        raise ValueError("Input matrix contains empty columns")
+    if backend == "sparse":
+        import scipy.sparse as sp
+        mat0 = sp.csr_matrix(obj.counts)
+        n, m = mat0.shape
+        if (np.asarray(mat0.sum(axis=1)).ravel() == 0).any():
+            raise ValueError("Input matrix contains empty rows")
+        if (np.asarray(mat0.sum(axis=0)).ravel() == 0).any():
+            raise ValueError("Input matrix contains empty columns")
+        if randomize:
+            raise ValueError("randomize shuffles dense columns; use a "
+                             "dense backend")
+        if mesh is not None:
+            raise ValueError("the sparse ML backend is single-device; "
+                             "use backend='pallas' with a mesh")
+    else:
+        mat0 = obj.counts_dense(dtype=np.dtype(dtype))
+        n, m = mat0.shape
+        if (mat0.sum(axis=1) == 0).any():
+            raise ValueError("Input matrix contains empty rows")
+        if (mat0.sum(axis=0) == 0).any():
+            raise ValueError("Input matrix contains empty columns")
+
+    dev_dtype = dtype
+    if storage_dtype is not None:
+        sd = np.dtype(storage_dtype)
+        if backend == "sparse":
+            raise ValueError("storage_dtype applies to the dense "
+                             "layouts; the sparse backend already "
+                             "stores only nonzeros")
+        if sd.kind not in "iu":
+            raise ValueError("storage_dtype must be an integer dtype")
+        if np.any(mat0 != np.round(mat0)):
+            raise ValueError(
+                "storage_dtype requires integer counts (normalized "
+                "matrices are float — factorize raw counts instead)")
+        if float(mat0.max()) > np.iinfo(sd).max:
+            raise ValueError(
+                f"counts up to {mat0.max():.0f} overflow "
+                f"storage_dtype {sd.name}; use a wider type")
+        dev_dtype = sd
 
     pn = float(gamma_a) - 1.0 if prior else 0.0
     pd_ = float(gamma_a) / float(gamma_b) if prior else 0.0
@@ -95,12 +155,32 @@ def factorize(object, ranks=2, nrun=20, randomize=False, nsmpl=1,
         ncells_ax = mesh.shape["cells"]
         m_pad = -(-m // ncells_ax) * ncells_ax
 
-    rng = np.random.default_rng(seed)
-    key = jax.random.PRNGKey(seed)
+    if isinstance(distributed, dict):
+        from ..parallel.mesh import init_distributed
+        init_distributed(**distributed)
+        distributed = "auto"
+    if distributed in (False, None):
+        nproc, pid = 1, 0
+    else:
+        nproc = (_process_count if _process_count is not None
+                 else jax.process_count())
+        pid = (_process_id if _process_id is not None
+               else jax.process_index())
+
+    key0 = jax.random.PRNGKey(seed)
     nrank = len(ranks)
     if batch_ranks == "auto":
-        batch_ranks = nrank > 1
+        batch_ranks = nrank > 1 or nproc > 1
+    if nproc > 1:
+        if not batch_ranks:
+            raise ValueError("multi-host factorize requires "
+                             "batch_ranks")
+        if mesh is not None:
+            raise ValueError("multi-host factorize partitions items "
+                             "across processes; per-host meshes are "
+                             "not combined")
 
+    coph_ses = []
     wdat, hdat = [None] * nrank, [None] * nrank
     rdat = [[] for _ in range(nrank)]
     ddat = [[] for _ in range(nrank)]
@@ -121,9 +201,18 @@ def factorize(object, ranks=2, nrun=20, randomize=False, nsmpl=1,
         return x, w0, h0
 
     def device_x(mat):
-        x = jnp.asarray(mat, dtype)
         run_kwargs = dict(pn=jnp.asarray(pn, dtype),
                           pd=jnp.asarray(pd_, dtype))
+        if backend == "sparse":
+            from ..ops import ell as ek
+            if sparse_layout not in ("auto", "ell"):
+                raise ValueError(
+                    f"unknown sparse_layout {sparse_layout!r}")
+            x = ek.from_scipy_ell(mat, dtype=dtype)
+            fh, fw = ek.make_ell_ml_backend()
+            run_kwargs.update(fused_h=fh, fused_w=fw, nm_true=(n, m))
+            return x, run_kwargs
+        x = jnp.asarray(mat, dev_dtype)
         if m_pad != m:
             x = jnp.pad(x, ((0, 0), (0, m_pad - m)))
         if backend == "dense_fused":
@@ -167,24 +256,46 @@ def factorize(object, ranks=2, nrun=20, randomize=False, nsmpl=1,
             conav = acc.conav()
             coph = cons.cophenet(conav, m, method=linkage)
         else:
-            conav, coph = None, float("nan")
+            # subsampled estimator (exact on each random cell subset)
+            # instead of the round-2 NaN; the reference computes the
+            # full m x m consensus unconditionally, R/factorize.R:69-78
+            conav = None
+            coph, coph_se = cons.cophenet_subsampled(
+                acc, cophenetic_max_cells, method=linkage,
+                nsub=cophenetic_nsub, seed=seed)
+            coph_ses.append(coph_se)
         return imax, rmax, disp, coph, conav
 
+    from ..parallel import schedule
+
     for ismpl in range(nsmpl):
+        owned = [k for k in range(nrank)
+                 if (ismpl * nrank + k) % nproc == pid]
         if randomize:
+            # per-sample deterministic stream, so any process can
+            # rebuild sample ismpl's shuffled matrix identically
+            rng_i = np.random.default_rng(
+                np.random.SeedSequence([seed, 104729 + ismpl]))
             mat = np.empty_like(mat0)
             for j in range(m):
-                mat[:, j] = rng.permutation(mat0[:, j])
+                mat[:, j] = rng_i.permutation(mat0[:, j])
         else:
             mat = mat0
-        x, run_kwargs = device_x(mat)
 
-        if batch_ranks:
+        local = {}
+        if owned and batch_ranks:
+            x, run_kwargs = device_x(mat)
             rmax_ = max(ranks)
-            nb = nrank * nrun
-            rank_arr = np.repeat(np.asarray(ranks, np.int64), nrun)
-            key, sub = jax.random.split(key)
-            keys = jax.random.split(sub, nb)
+            ranks_own = [ranks[k] for k in owned]
+            nb = len(owned) * nrun
+            rank_arr = np.repeat(np.asarray(ranks_own, np.int64),
+                                 nrun)
+            # per-ITEM key derivation: independent of which process
+            # runs the item, so multi-host == single-host exactly
+            keys = jnp.concatenate([
+                jax.random.split(
+                    jax.random.fold_in(key0, ismpl * nrank + k), nrun)
+                for k in owned])
             w0, h0 = jax.vmap(
                 lambda kk: ml_ops.ml_init(kk, n, m_pad, rmax_,
                                           dtype))(keys)
@@ -200,17 +311,20 @@ def factorize(object, ranks=2, nrun=20, randomize=False, nsmpl=1,
                     rank_mask=rm, **run_kwargs),
                 in_axes=(0, 0, 0))
             out = jax.tree.map(np.asarray, batched(w0, h0, rmask))
-            groups = [(k, rank,
-                       [k * nrun + i for i in range(nrun)])
-                      for k, rank in enumerate(ranks)]
-        else:
+            groups = [(k, ranks[k],
+                       [kk * nrun + i for i in range(nrun)])
+                      for kk, k in enumerate(owned)]
+            outs = None
+        elif owned:
+            x, run_kwargs = device_x(mat)
             groups = []
-            outs = []
-            for k, rank in enumerate(ranks):
+            outs = {}
+            for k in owned:
+                rank = ranks[k]
                 if verbose > 0:
                     print(f"Rank {rank} [{k + 1}/{nrank}]")
-                key, sub = jax.random.split(key)
-                keys = jax.random.split(sub, nrun)
+                keys = jax.random.split(
+                    jax.random.fold_in(key0, ismpl * nrank + k), nrun)
                 w0, h0 = jax.vmap(
                     lambda kk: ml_ops.ml_init(kk, n, m_pad, rank,
                                               dtype))(keys)
@@ -220,11 +334,13 @@ def factorize(object, ranks=2, nrun=20, randomize=False, nsmpl=1,
                         x, w, h, itmax=int(Itmax), tol=float(Tol),
                         criterion=criterion,
                         ncnn_step=int(ncnn_step), **run_kwargs))
-                outs.append(jax.tree.map(np.asarray, batched(w0, h0)))
+                outs[k] = jax.tree.map(np.asarray, batched(w0, h0))
                 groups.append((k, rank, list(range(nrun))))
+        else:
+            groups = []
 
         for k, rank, idxs in groups:
-            o = out if batch_ranks else outs[k]
+            o = out if outs is None else outs[k]
             # padded-rank instances: slice factors and clamp cids to
             # the true rank (padded rows are eps, never argmax)
             cids = [o.cid[b][:m] for b in idxs]
@@ -233,21 +349,52 @@ def factorize(object, ranks=2, nrun=20, randomize=False, nsmpl=1,
             label = f" rank {rank}" if batch_ranks else ""
             imax, rmax, disp, coph, conav = consensus_stats(
                 cids, lkhs, nits, label)
-            wmax = np.asarray(o.w[idxs[imax]][:, :rank])
-            hmax = np.asarray(o.h[idxs[imax]][:rank, :m])
+            local[k] = dict(
+                rmax=rmax, disp=disp, coph=coph,
+                wmax=np.asarray(o.w[idxs[imax]][:, :rank]),
+                hmax=np.asarray(o.h[idxs[imax]][:rank, :m]))
             conav_last = conav
             if verbose >= 1:
                 print(f"Sample# {ismpl + 1}: rank {rank}: "
                       f"Max(likelihood) = {rmax:.6g}, dispersion = "
                       f"{disp:.6g}, cophenetic = {coph:.6g}")
+
+        if nproc > 1:
+            idx_loc = np.asarray(owned, np.int64)
+            stats = {}
+            for name in ("rmax", "disp", "coph"):
+                vals = np.asarray([local[k][name] for k in owned],
+                                  np.float64)
+                stats[name] = schedule.gather_results(
+                    vals, idx_loc, nrank, process_count=nproc)
+            for k in range(nrank):
+                rank = ranks[k]
+                owner = (ismpl * nrank + k) % nproc
+                if k in local:
+                    cand = dict(w=local[k]["wmax"],
+                                h=local[k]["hmax"])
+                else:
+                    cand = dict(w=np.zeros((n, rank)),
+                                h=np.zeros((rank, m)))
+                cand = schedule.exchange_winner(
+                    cand, owner == pid, owner, process_count=nproc)
+                local[k] = dict(rmax=stats["rmax"][k],
+                                disp=stats["disp"][k],
+                                coph=stats["coph"][k],
+                                wmax=np.asarray(cand["w"]),
+                                hmax=np.asarray(cand["h"]))
+
+        for k in range(nrank):
+            res = local[k]
             if ismpl == 0:
-                wdat[k], hdat[k] = wmax.copy(), hmax.copy()
+                wdat[k] = res["wmax"].copy()
+                hdat[k] = res["hmax"].copy()
             else:
-                wdat[k] += wmax
-                hdat[k] += hmax
-            rdat[k].append(rmax)
-            ddat[k].append(disp)
-            cdat[k].append(coph)
+                wdat[k] += res["wmax"]
+                hdat[k] += res["hmax"]
+            rdat[k].append(float(res["rmax"]))
+            ddat[k].append(float(res["disp"]))
+            cdat[k].append(float(res["coph"]))
 
     for k in range(nrank):
         wdat[k] /= nsmpl
@@ -275,7 +422,12 @@ def factorize(object, ranks=2, nrun=20, randomize=False, nsmpl=1,
         out_obj.measure = pd.DataFrame(dict(
             rank=ranks, likelihood=rave, dispersion=dave,
             cophenetic=cave))
+    if coph_ses:
+        out_obj.metadata["cophenetic_se"] = coph_ses
+        out_obj.metadata["cophenetic_subsampled"] = dict(
+            max_cells=int(cophenetic_max_cells),
+            nsub=int(cophenetic_nsub))
     if store_connectivity:
-        out_obj.metadata = dict(nrun=nrun, connectivity=conav_last)
+        out_obj.metadata.update(nrun=nrun, connectivity=conav_last)
     out_obj.validate()
     return out_obj

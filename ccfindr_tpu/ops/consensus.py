@@ -95,3 +95,39 @@ class ConsensusAccumulator:
         for cid in self.labels:
             out += connectivity(cid=cid)
         return out / self.nrun
+
+    def conav_subset(self, idx) -> np.ndarray:
+        """Condensed mean connectivity restricted to the cell subset
+        ``idx`` — EXACT on the subsample (a principal submatrix of the
+        full consensus), |idx|(|idx|-1)/2 memory."""
+        idx = np.asarray(idx)
+        out = np.zeros(len(idx) * (len(idx) - 1) // 2)
+        for cid in self.labels:
+            out += connectivity(cid=cid[idx])
+        return out / self.nrun
+
+
+def cophenet_subsampled(acc: ConsensusAccumulator, max_cells: int,
+                        method: str = "average", nsub: int = 3,
+                        seed: int = 0) -> tuple[float, float]:
+    """Subsampled cophenetic correlation for large cell counts.
+
+    The reference computes the cophenetic on the full m x m consensus
+    unconditionally (R/factorize.R:69-78) — 40 GB of condensed doubles
+    at m = 100k.  Estimator: draw ``nsub`` random cell subsets of size
+    ``max_cells``, compute the EXACT cophenetic of the consensus
+    restricted to each subset (a principal submatrix, so each draw is
+    the exact statistic of a uniformly subsampled experiment), and
+    report (mean, standard error over draws).
+    """
+    rng = np.random.default_rng(seed)
+    vals = []
+    for _ in range(max(1, int(nsub))):
+        idx = np.sort(rng.choice(acc.m, size=int(max_cells),
+                                 replace=False))
+        vals.append(cophenet(acc.conav_subset(idx), len(idx),
+                             method=method))
+    vals = np.asarray(vals)
+    se = (float(vals.std(ddof=1) / np.sqrt(len(vals)))
+          if len(vals) > 1 else float("nan"))
+    return float(vals.mean()), se

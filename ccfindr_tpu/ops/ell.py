@@ -396,3 +396,101 @@ def make_ell_fused():
         return fused_ell(x, lw, lh)
 
     return fused
+
+
+# ---------------------------------------------------------------------
+# ML (Lee–Seung) phases over the dual ELL layout
+# ---------------------------------------------------------------------
+
+@jax.jit
+def ell_ml_h(ec: EllCounts, w, h):
+    """ML H-phase over nonzeros: (hn, xlogwh) with
+    hn = w^T (x/wh) and xlogwh = sum x log(wh) — the ELL dual of
+    ops.pallas.ml_kernels.ml_h_pallas (contract of
+    ops.ml.ml_run(fused_h=...)).  By-cell gather pass + overflow
+    tail; O(nnz*r), no densification."""
+    n, m = ec.n, ec.m
+    r = w.shape[1]
+    acc_t = w.dtype
+    w_ext = jnp.concatenate([w, jnp.zeros((1, r), w.dtype)])
+
+    m_pad, kc = ec.crow.shape
+    mb = m_pad // ec.bm
+    crow = ec.crow.reshape(mb, ec.bm, kc)
+    cval = ec.cval.reshape(mb, ec.bm, kc)
+    h_pad = jnp.concatenate(
+        [h.T, jnp.zeros((m_pad - m, r), h.dtype)]).reshape(
+            mb, ec.bm, r)
+
+    def cbody(xlog, inp):
+        cr, cv, hb = inp
+        wg = w_ext[cr]                                    # (bm,Kc,r)
+        wh = jnp.einsum("bkr,br->bk", wg, hb,
+                        preferred_element_type=acc_t)
+        safe = jnp.where(wh > 0, wh, 1.0)
+        a = jnp.where(cv > 0, cv / safe, 0.0)
+        hn_b = jnp.einsum("bk,bkr->br", a, wg,
+                          preferred_element_type=acc_t)
+        xlog = xlog + jnp.sum(jnp.where(cv > 0, cv * jnp.log(safe),
+                                        0.0))
+        return xlog, hn_b
+
+    xlog, hn = lax.scan(cbody, jnp.zeros((), acc_t),
+                        (crow, cval, h_pad))
+    hn = hn.reshape(m_pad, r)[:m].T
+
+    h_ext = jnp.concatenate(
+        [h, jnp.zeros((r, 1), h.dtype)], axis=1).T         # (m+1, r)
+    ct_hn, ct_xlog = _tail_scan(ec.ctcol, ec.ctrow, ec.ctval,
+                                h_ext, w_ext, m, with_xlog=True)
+    return hn + ct_hn.T, xlog + ct_xlog
+
+
+@jax.jit
+def ell_ml_w(ec: EllCounts, w, h):
+    """ML W-phase over nonzeros: wn = (x/wh) h^T for the UPDATED h —
+    the ELL dual of ml_w_pallas.  By-gene gather pass + tail."""
+    n, m = ec.n, ec.m
+    r = w.shape[1]
+    acc_t = w.dtype
+    lh_ext = jnp.concatenate(
+        [h, jnp.zeros((r, 1), h.dtype)], axis=1).T         # (m+1, r)
+
+    n_pad, kg = ec.gcol.shape
+    nb = n_pad // ec.bn
+    gcol = ec.gcol.reshape(nb, ec.bn, kg)
+    gval = ec.gval.reshape(nb, ec.bn, kg)
+    w_pad = jnp.concatenate(
+        [w, jnp.zeros((n_pad - n, r), w.dtype)]).reshape(
+            nb, ec.bn, r)
+
+    def gbody(_, inp):
+        gc, gv, wb = inp
+        hg = lh_ext[gc]                                   # (bn,Kg,r)
+        wh = jnp.einsum("bkr,br->bk", hg, wb,
+                        preferred_element_type=acc_t)
+        safe = jnp.where(wh > 0, wh, 1.0)
+        a = jnp.where(gv > 0, gv / safe, 0.0)
+        wn_b = jnp.einsum("bk,bkr->br", a, hg,
+                          preferred_element_type=acc_t)
+        return 0.0, wn_b
+
+    _, wn = lax.scan(gbody, 0.0, (gcol, gval, w_pad))
+    wn = wn.reshape(n_pad, r)[:n]
+
+    w_ext = jnp.concatenate([w, jnp.zeros((1, r), w.dtype)])
+    gt_wn, _ = _tail_scan(ec.gtrow, ec.gtcol, ec.gtval,
+                          w_ext, lh_ext, n, with_xlog=False)
+    return wn + gt_wn
+
+
+def make_ell_ml_backend():
+    """(fused_h, fused_w) pair for ops.ml.ml_run over an EllCounts —
+    factorize(backend='sparse')."""
+    def fused_h(x, w, h):
+        return ell_ml_h(x, w, h)
+
+    def fused_w(x, w, h):
+        return ell_ml_w(x, w, h)
+
+    return fused_h, fused_w

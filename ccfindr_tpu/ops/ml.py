@@ -67,10 +67,19 @@ def likelihood(x, w, h, lgx_zero_term):
     return val / (x.shape[0] * x.shape[1])
 
 
-def likelihood_const(x):
-    """The data-only term sum_{x>0}(-x log x + x) of the likelihood."""
+def likelihood_const(x, dtype=None):
+    """The data-only term sum_{x>0}(-x log x + x) of the likelihood.
+    ``x`` may be a flat nonzero-values vector (sparse layouts) — zeros
+    contribute 0 either way."""
+    if dtype is not None:
+        x = x.astype(dtype)
     xl = jnp.where(x > 0, -x * jnp.log(jnp.where(x > 0, x, 1.0)) + x, 0.0)
     return jnp.sum(xl)
+
+
+def _xvals(x):
+    """Dense array or the .val nonzeros of a sparse-layout pytree."""
+    return x.val if isinstance(x, tuple) and hasattr(x, "val") else x
 
 
 def hard_assign(h) -> jax.Array:
@@ -143,9 +152,12 @@ def ml_run(x, w0, h0, *, itmax: int = 10000, tol: float = 1e-5,
                              fused_h=fused_h, fused_w=fused_w,
                              nm_true=nm_true, pn=pn, pd=pd,
                              rank_mask=rank_mask)
-    eps = jnp.asarray(jnp.finfo(x.dtype).eps, x.dtype)
-    tol = jnp.asarray(tol, x.dtype)
-    lgconst = likelihood_const(x)
+    # loop scalars use the FACTOR dtype: x may be a compressed integer
+    # storage layout or a sparse-nonzeros pytree
+    ref_t = w0.dtype
+    eps = jnp.asarray(jnp.finfo(ref_t).eps, ref_t)
+    tol = jnp.asarray(tol, ref_t)
+    lgconst = likelihood_const(_xvals(x), ref_t)
     r = h0.shape[0]
 
     if criterion == "likelihood":
@@ -161,7 +173,7 @@ def ml_run(x, w0, h0, *, itmax: int = 10000, tol: float = 1e-5,
             done = jnp.abs(lkold - lk) < tol * jnp.abs(lkold)
             return it + 1, w, h, lk, lk, done
 
-        neginf = jnp.asarray(-jnp.inf, x.dtype)
+        neginf = jnp.asarray(-jnp.inf, ref_t)
         it, w, h, lkold, lk0, done = lax.while_loop(
             cond, body, (jnp.asarray(1), w0, h0, neginf, neginf,
                          jnp.asarray(False)))
@@ -182,7 +194,7 @@ def ml_run(x, w0, h0, *, itmax: int = 10000, tol: float = 1e-5,
 
         it, w, h, lk0, _, _, done = lax.while_loop(
             cond, body, (jnp.asarray(1), w0, h0,
-                         jnp.asarray(-jnp.inf, x.dtype),
+                         jnp.asarray(-jnp.inf, ref_t),
                          jnp.zeros((x.shape[1],), jnp.int32),
                          jnp.asarray(0, jnp.int32), jnp.asarray(False)))
     else:
@@ -204,12 +216,13 @@ def _ml_run_fused(x, w0, h0, *, itmax, tol, criterion, ncnn_step,
     check needs only the updated H (no extra X pass); the final
     likelihood is evaluated once post-loop.
     """
-    eps = jnp.asarray(jnp.finfo(x.dtype).eps, x.dtype)
-    tol = jnp.asarray(tol, x.dtype)
-    lgconst = likelihood_const(x)
+    ref_t = w0.dtype
+    eps = jnp.asarray(jnp.finfo(ref_t).eps, ref_t)
+    tol = jnp.asarray(tol, ref_t)
+    lgconst = likelihood_const(_xvals(x), ref_t)
     r = h0.shape[0]
     n, m = nm_true if nm_true is not None else (w0.shape[0], h0.shape[1])
-    neginf = jnp.asarray(-jnp.inf, x.dtype)
+    neginf = jnp.asarray(-jnp.inf, ref_t)
 
     def lk_of(xlw, w, h):
         # -sum(wh) reduces in rank space: dot(colsum(w), rowsum(h))

@@ -35,6 +35,7 @@ def main(argv=None):
     p.add_argument("--ranks", default="2,3,4")
     p.add_argument("--nrun", type=int, default=3)
     p.add_argument("--seed", type=int, default=5)
+    p.add_argument("--mode", default="vb", choices=("vb", "ml"))
     a = p.parse_args(argv)
 
     os.environ["JAX_PLATFORMS"] = "cpu"
@@ -59,9 +60,16 @@ def main(argv=None):
 
     s = build_problem(cf)
     ranks = [int(r) for r in a.ranks.split(",")]
-    out = cf.vb_factorize(s, ranks=ranks, nrun=a.nrun, verbose=0,
-                          Itmax=a.itmax, seed=a.seed)
-    arrays = {"lml": out.measure["lml"].to_numpy()}
+    if a.mode == "ml":
+        out = cf.factorize(s, ranks=ranks, nrun=a.nrun, verbose=0,
+                           Itmax=a.itmax, seed=a.seed)
+        arrays = {"lml": out.measure["likelihood"].to_numpy(),
+                  "dispersion": out.measure["dispersion"].to_numpy(),
+                  "cophenetic": out.measure["cophenetic"].to_numpy()}
+    else:
+        out = cf.vb_factorize(s, ranks=ranks, nrun=a.nrun, verbose=0,
+                              Itmax=a.itmax, seed=a.seed)
+        arrays = {"lml": out.measure["lml"].to_numpy()}
     for k, r in enumerate(out.ranks):
         arrays[f"basis_{r}"] = np.asarray(out.basis[k])
         arrays[f"coeff_{r}"] = np.asarray(out.coeff[k])

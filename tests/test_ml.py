@@ -277,16 +277,20 @@ def test_ml_prior_map_terms():
 
 
 def test_ml_cophenetic_gate():
-    """Above cophenetic_max_cells the m^2 statistic is NaN (documented
-    scale gate); dispersion stays exact via the streaming identity."""
+    """Above cophenetic_max_cells the cophenetic switches to the
+    subsampled estimator (finite, with SEs in metadata — round 2
+    reported NaN); dispersion stays exact via the streaming
+    identity."""
     sim = cf.simulate_whx(nrow=15, ncol=30, rank=2, aw=1.0, ah=1.0,
                           seed=6)
     s = cf.SCSet(count=sim["x"])
     a = cf.factorize(s, ranks=2, nrun=2, verbose=0, Itmax=100, seed=1,
                      cophenetic_max_cells=5)
     b = cf.factorize(s, ranks=2, nrun=2, verbose=0, Itmax=100, seed=1)
-    assert np.isnan(a.measure["cophenetic"]).all()
+    assert np.isfinite(a.measure["cophenetic"]).all()
+    assert "cophenetic_se" in a.metadata
     assert np.isfinite(b.measure["cophenetic"]).all()
+    assert "cophenetic_se" not in b.metadata
     np.testing.assert_allclose(a.measure["dispersion"],
                                b.measure["dispersion"])
 
@@ -311,3 +315,101 @@ def test_ml_factorize_mesh_matches_single():
     np.testing.assert_allclose(a.measure["likelihood"],
                                c.measure["likelihood"], rtol=1e-3)
     assert c.coeff[0].shape == a.coeff[0].shape
+
+
+def test_cophenetic_subsampled_matches_exact():
+    """Above cophenetic_max_cells, factorize reports a finite
+    subsampled cophenetic; the estimator agrees with the exact value
+    on moderate m (VERDICT r2 item 6; reference computes the full
+    consensus unconditionally, R/factorize.R:69-78)."""
+    from ccfindr_tpu.ops import consensus as cons
+
+    rng = np.random.default_rng(3)
+    m = 600
+    acc = cons.ConsensusAccumulator(m)
+    base = rng.integers(0, 4, m)
+    for _ in range(6):
+        lab = base.copy()
+        flip = rng.random(m) < 0.15
+        lab[flip] = rng.integers(0, 4, int(flip.sum()))
+        acc.add(lab)
+    exact = cons.cophenet(acc.conav(), m)
+    est, se = cons.cophenet_subsampled(acc, max_cells=300, nsub=5,
+                                       seed=0)
+    assert np.isfinite(est) and np.isfinite(se)
+    assert abs(est - exact) < 0.05, (est, exact)
+
+
+def test_factorize_subsampled_cophenetic_finite():
+    sim = cf.simulate_data(nfeatures=20, nsamples=[15, 15, 15], seed=4)
+    s = cf.SCSet(count=np.asarray(sim))
+    out = cf.factorize(s, ranks=3, nrun=3, verbose=0, Itmax=100,
+                       seed=1, cophenetic_max_cells=20,
+                       cophenetic_nsub=3)
+    coph = float(out.measure["cophenetic"][0])
+    assert np.isfinite(coph) and 0 <= coph <= 1
+    assert "cophenetic_se" in out.metadata
+
+
+def test_ell_ml_kernels_match_dense():
+    """ELL ML phases == dense fused phases (ops.ell.ell_ml_h/ell_ml_w
+    vs ops.ml.ml_h_dense/ml_w_dense), incl. overflow tails."""
+    import scipy.sparse as sp
+
+    from ccfindr_tpu.ops import ell as ek
+    from ccfindr_tpu.ops import ml as ml_ops
+
+    rng = np.random.default_rng(11)
+    n, m, r = 30, 40, 4
+    x = rng.poisson(0.8, (n, m)) * (rng.random((n, m)) < 0.4)
+    x[:, 0] += 1
+    x[0, :] += 1
+    w = jnp.asarray(rng.gamma(1.0, 1.0, (n, r)))
+    h = jnp.asarray(rng.gamma(1.0, 1.0, (r, m)))
+    xj = jnp.asarray(x, jnp.float64)
+    # lane=8 forces overflow tails on this tiny matrix
+    ec = ek.from_scipy_ell(sp.csr_matrix(x), dtype=jnp.float64,
+                           quantile=0.7, lane=8)
+
+    hn_d, xl_d = ml_ops.ml_h_dense(xj, w, h)
+    hn_e, xl_e = ek.ell_ml_h(ec, w, h)
+    np.testing.assert_allclose(np.asarray(hn_e), np.asarray(hn_d),
+                               rtol=1e-10)
+    np.testing.assert_allclose(float(xl_e), float(xl_d), rtol=1e-10)
+
+    wn_d = ml_ops.ml_w_dense(xj, w, h)
+    wn_e = ek.ell_ml_w(ec, w, h)
+    np.testing.assert_allclose(np.asarray(wn_e), np.asarray(wn_d),
+                               rtol=1e-10)
+
+
+def test_factorize_sparse_matches_dense():
+    """factorize(backend='sparse') == dense_fused factorize: same
+    measures and factors (VERDICT r2 item 5 — ML/VB driver parity;
+    reference treats the paths symmetrically, R/factorize.R:139-276)."""
+    sim = cf.simulate_whx(nrow=25, ncol=35, rank=3, seed=9)
+    s = cf.SCSet(count=sim["x"])
+    kw = dict(ranks=[2, 3], nrun=3, verbose=0, Itmax=200, seed=2)
+    a = cf.factorize(s, backend="dense_fused", **kw)
+    b = cf.factorize(s, backend="sparse", **kw)
+    np.testing.assert_allclose(b.measure["likelihood"],
+                               a.measure["likelihood"], rtol=1e-8)
+    np.testing.assert_allclose(b.measure["dispersion"],
+                               a.measure["dispersion"], rtol=1e-8)
+    for k in range(2):
+        np.testing.assert_allclose(b.basis[k], a.basis[k], rtol=1e-6)
+        np.testing.assert_allclose(b.coeff[k], a.coeff[k], rtol=1e-6)
+
+
+def test_factorize_storage_dtype_matches_float():
+    """int16 X storage gives identical ML results (exact math, kernels
+    upcast; mirrors vb_factorize storage_dtype)."""
+    sim = cf.simulate_whx(nrow=20, ncol=30, rank=2, seed=10)
+    s = cf.SCSet(count=sim["x"])
+    kw = dict(ranks=2, nrun=2, verbose=0, Itmax=150, seed=3)
+    a = cf.factorize(s, backend="dense_fused", **kw)
+    b = cf.factorize(s, backend="dense_fused", storage_dtype="int16",
+                     **kw)
+    np.testing.assert_allclose(b.measure["likelihood"],
+                               a.measure["likelihood"], rtol=1e-12)
+    np.testing.assert_array_equal(b.basis[0], a.basis[0])
