@@ -186,6 +186,7 @@ def _place_sharded(x, states, hypers, mesh):
     axes = mesh.axis_names
     runs = "runs" if "runs" in axes else None
     cells = "cells" if "cells" in axes else None
+    genes = "genes" if "genes" in axes else None
 
     if isinstance(x, (SparseCounts, EllCounts)):
         # sharded nonzero layouts: every leaf carries a leading
@@ -194,10 +195,10 @@ def _place_sharded(x, states, hypers, mesh):
             lambda a: jax.device_put(
                 a, NamedSharding(mesh, P(cells))), x)
     else:
-        x = jax.device_put(x, NamedSharding(mesh, P(None, cells)))
-    specs = dict(ew=P(runs, None, None), eh=P(runs, None, cells),
-                 lw=P(runs, None, None), lh=P(runs, None, cells),
-                 dw=P(runs, None, None), dh=P(runs, None, cells),
+        x = jax.device_put(x, NamedSharding(mesh, P(genes, cells)))
+    specs = dict(ew=P(runs, genes, None), eh=P(runs, None, cells),
+                 lw=P(runs, genes, None), lh=P(runs, None, cells),
+                 dw=P(runs, genes, None), dh=P(runs, None, cells),
                  lkh=P(runs))
     states = VBState(**{
         f: jax.device_put(getattr(states, f), NamedSharding(mesh, specs[f]))
@@ -207,7 +208,7 @@ def _place_sharded(x, states, hypers, mesh):
     return x, states, hypers
 
 
-def _record_multihost(out, my_idx, ranks, nrun, m, Tol, unif_stop,
+def _record_multihost(out, my_idx, ranks, nrun, n, m, Tol, unif_stop,
                       verbose, nproc, pid, rdat, results, run_alive):
     """Merge a multi-host batched run into the (rdat, results) tables.
 
@@ -221,13 +222,12 @@ def _record_multihost(out, my_idx, ranks, nrun, m, Tol, unif_stop,
 
     nrank = len(ranks)
     nb_all = nrank * nrun
-    n = out.state.ew.shape[1]
 
     # local degeneracy counts (uniform basis columns at the TRUE rank)
     nunif_loc = np.empty(len(my_idx))
     for b, t in enumerate(np.asarray(my_idx)):
         rank = ranks[int(t) // nrun]
-        ew = np.asarray(out.state.ew[b][:, :rank])
+        ew = np.asarray(out.state.ew[b][:n, :rank])
         nunif_loc[b] = int(
             ((ew.max(axis=0) - ew.min(axis=0)) < float(Tol)).sum())
 
@@ -272,9 +272,9 @@ def _record_multihost(out, my_idx, ranks, nrun, m, Tol, unif_stop,
         if owner == pid:
             b = local_pos[t]
             cand = dict(
-                ew=np.asarray(out.state.ew[b][:, :rank]),
+                ew=np.asarray(out.state.ew[b][:n, :rank]),
                 eh=np.asarray(out.state.eh[b][:rank, :m]),
-                dw=np.asarray(out.state.dw[b][:, :rank]),
+                dw=np.asarray(out.state.dw[b][:n, :rank]),
                 dh=np.asarray(out.state.dh[b][:rank, :m]),
                 hyper=np.asarray([out.hyper.aw[b], out.hyper.bw[b],
                                   out.hyper.ah[b], out.hyper.bh[b]],
@@ -453,6 +453,24 @@ def vb_factorize(object, ranks=2, nrun=1, verbose=2,
                 (np.arange(m_pad) < m).astype(np.dtype(dtype)))
             run_kwargs["cell_mask"] = cell_mask
             run_kwargs["m_true"] = m
+    # gene-axis sharding (TP dual): pad the gene axis to the 'genes'
+    # axis size; padded X rows are 0 and the masked posterior pins
+    # padded lw rows at 1 (X-pass contract) and ew/dw rows at 0
+    n_pad = n
+    gene_mask = None
+    if (mesh is not None and "genes" in mesh.axis_names
+            and mesh.shape["genes"] > 1):
+        if backend == "sparse":
+            raise ValueError("gene-axis sharding applies to the dense "
+                             "layouts; the sparse layouts shard cells")
+        ng_ax = mesh.shape["genes"]
+        n_pad = -(-n // ng_ax) * ng_ax
+        if n_pad != n:
+            mat = np.pad(mat, ((0, n_pad - n), (0, 0)))
+            gene_mask = jnp.asarray(
+                (np.arange(n_pad) < n).astype(np.dtype(dtype)))
+            run_kwargs["gene_mask"] = gene_mask
+            run_kwargs["n_true"] = n
 
     # compressed integer X storage: UMI counts are small ints, so an
     # int8/int16 device layout cuts X's HBM footprint and read
@@ -552,16 +570,22 @@ def vb_factorize(object, ranks=2, nrun=1, verbose=2,
             return _epi.vb_run_epi(xx, st, hy, layout=_layout, **kw)
 
     def _init_random_padded(kk, rank, h1):
-        # draw the random state at the TRUE cell count, then pad to
-        # the mesh's cell axis — so a padded mesh run consumes the
-        # exact same random stream as a single-device run (padded
-        # cells are masked to nothing inside vb_run either way)
+        # draw the random state at the TRUE shape, then pad to the
+        # mesh axes — so a padded mesh run consumes the exact same
+        # random stream as a single-device run (padding is masked to
+        # nothing inside vb_run either way)
         st = vb_ops.vb_init_random(kk, n, m, rank, h1, dtype)
         if m_pad != m:
             pad = ((0, 0), (0, m_pad - m))
             st = st._replace(eh=jnp.pad(st.eh, pad),
                              dh=jnp.pad(st.dh, pad),
                              lh=jnp.pad(st.lh, pad,
+                                        constant_values=1.0))
+        if n_pad != n:
+            pad = ((0, n_pad - n), (0, 0))
+            st = st._replace(ew=jnp.pad(st.ew, pad),
+                             dw=jnp.pad(st.dw, pad),
+                             lw=jnp.pad(st.lw, pad,
                                         constant_values=1.0))
         return st
 
@@ -581,7 +605,7 @@ def vb_factorize(object, ranks=2, nrun=1, verbose=2,
     def _record(out, b, i, k, rank):
         """Record one converged (run, rank) instance; returns False and
         kills the run on degeneracy (reference R/bayesian.R:368-378)."""
-        ew = np.asarray(out.state.ew[b][:, :rank])
+        ew = np.asarray(out.state.ew[b][:n, :rank])
         eh = np.asarray(out.state.eh[b][:rank, :m])
         unif_i = (ew.max(axis=0) - ew.min(axis=0)) < float(Tol)
         nunif_i = int(unif_i.sum())
@@ -599,7 +623,7 @@ def vb_factorize(object, ranks=2, nrun=1, verbose=2,
         rdat[i, k] = lml
         results[i][k] = dict(
             ew=ew, eh=eh,
-            dw=np.asarray(out.state.dw[b][:, :rank]),
+            dw=np.asarray(out.state.dw[b][:n, :rank]),
             dh=np.asarray(out.state.dh[b][:rank, :m]),
             hyper=dict(aw=float(out.hyper.aw[b]),
                        bw=float(out.hyper.bw[b]),
@@ -696,7 +720,7 @@ def vb_factorize(object, ranks=2, nrun=1, verbose=2,
             print("Warning: hyperparameter update did not converge "
                   "in some runs")   # reference raises, R/bayesian.R:43
         if nproc > 1:
-            _record_multihost(out, my_idx, ranks, nrun, m, Tol,
+            _record_multihost(out, my_idx, ranks, nrun, n, m, Tol,
                               unif_stop, verbose, nproc, pid, rdat,
                               results, run_alive)
         else:
@@ -745,6 +769,12 @@ def vb_factorize(object, ranks=2, nrun=1, verbose=2,
                 st = st._replace(eh=jnp.pad(st.eh, pad),
                                  dh=jnp.pad(st.dh, pad),
                                  lh=jnp.pad(st.lh, pad,
+                                            constant_values=1.0))
+            if n_pad != n:
+                pad = ((0, n_pad - n), (0, 0))
+                st = st._replace(ew=jnp.pad(st.ew, pad),
+                                 dw=jnp.pad(st.dw, pad),
+                                 lw=jnp.pad(st.lw, pad,
                                             constant_values=1.0))
             states = jax.tree.map(lambda a: a[None], st)
 

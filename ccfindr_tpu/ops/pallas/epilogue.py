@@ -223,7 +223,7 @@ def posterior_update_pallas(swn_p, shn_p, lw_p, lh_p, ehs, hyper_vec,
     # tiny — rp_ rows); W blocks are (bn, rp_<=128-lane-padded), so a
     # conservative scoped-VMEM budget caps them (Mosaic scoped limit
     # is 16 MB; bn=4096 measured OOM)
-    bn = _epi_block(np_, bn, 128 * dt.itemsize, 2 ** 20)
+    bn = _epi_block(np_, bn, 128 * dt.itemsize, 2 ** 19)
     bm = _epi_block(mp_, bm, rp_ * dt.itemsize, 2 ** 22)
     ni, nj = np_ // bn, mp_ // bm
     if r_live is None:

@@ -228,7 +228,8 @@ def elbo_data_term(x, lw, lh):
 
 def posterior_update(sw, sh, state: VBState, hyper: Hyper, fudge, lgx,
                      cell_mask=None, m_true=None,
-                     rank_mask=None, r_true=None):
+                     rank_mask=None, r_true=None,
+                     gene_mask=None, n_true=None):
     """Gamma-posterior update from sufficient statistics + the ELBO
     terms that do NOT require another pass over X.
 
@@ -245,6 +246,12 @@ def posterior_update(sw, sh, state: VBState, hyper: Hyper, fudge, lgx,
       vector marking real cells, ``m_true`` the true cell count —
       eh/dh are zeroed, lh pinned at ``fudge`` (keeping W*H positive),
       and the U3 ELBO terms mask-summed.
+    * gene padding (gene-axis mesh sharding): ``gene_mask`` is a
+      (n_pad,) 0/1 vector marking real genes, ``n_true`` the true gene
+      count — ew/dw rows are zeroed and lw rows pinned at 1.0 (the
+      X-pass padding contract: padded X rows are 0, so any positive lw
+      keeps W*H positive while contributing nothing), and the U2 ELBO
+      terms mask-summed.
     * rank padding (batched rank sweeps): ``rank_mask`` is a (r_pad,)
       0/1 vector marking real components, ``r_true`` the (possibly
       traced, per-batch-instance) true rank — ew/eh are zeroed, lw/lh
@@ -252,7 +259,8 @@ def posterior_update(sw, sh, state: VBState, hyper: Hyper, fudge, lgx,
       fudge^2 ~ 1e-14 to W*H (below f32 resolution), and U2/U3 are
       mask-summed with r_true in the prior constants.
     """
-    n, r = state.lw.shape
+    n = n_true if n_true is not None else state.lw.shape[0]
+    r = state.lw.shape[1]
     m = m_true if m_true is not None else state.lh.shape[1]
     r_eff = r_true if r_true is not None else r
     aw, bw, ah, bh = hyper
@@ -260,6 +268,11 @@ def posterior_update(sw, sh, state: VBState, hyper: Hyper, fudge, lgx,
     alw = aw + sw
     bew = 1.0 / (aw / bw + jnp.sum(state.eh, axis=1)[None, :])
     ew = alw * bew                    # must precede the eh update
+    if gene_mask is not None:
+        # padded gene rows must be dead BEFORE colsums(ew) feeds beh
+        # (rows mix in the column sums; rank/cell masks never mix into
+        # a same-sweep consumer and can apply after)
+        ew = ew * gene_mask[:, None]
     alh = ah + sh
     beh = 1.0 / (ah / bh + jnp.sum(ew, axis=0)[:, None])
     eh = alh * beh
@@ -281,6 +294,10 @@ def posterior_update(sw, sh, state: VBState, hyper: Hyper, fudge, lgx,
         eh = eh * cell_mask
         dh = dh * cell_mask
         lh = jnp.where(cell_mask > 0, lh, fudge)
+    if gene_mask is not None:
+        mg = gene_mask[:, None]
+        dw = dw * mg
+        lw = jnp.where(mg > 0, lw, 1.0)
 
     # ELBO: U1 data part; the -sum(ew@eh) term reduces in rank space.
     u1_part = -jnp.dot(jnp.sum(ew, axis=0), jnp.sum(eh, axis=1)) - lgx
@@ -288,6 +305,8 @@ def posterior_update(sw, sh, state: VBState, hyper: Hyper, fudge, lgx,
                + gammaln(alw))
     if rank_mask is not None:
         u2_elem = u2_elem * rank_mask[None, :]
+    if gene_mask is not None:
+        u2_elem = u2_elem * gene_mask[:, None]
     u2 = (jnp.sum(u2_elem)
           + n * r_eff * (aw * jnp.log(aw / bw) - gammaln(aw)))
     u3_elem = (-(ah / bh) * eh + alh * (1.0 + jnp.log(beh))
@@ -331,7 +350,8 @@ def vb_sweep(x, state: VBState, hyper: Hyper, fudge, lgx,
              suffstats=suffstats_dense,
              data_term=elbo_data_term,
              cell_mask=None, m_true=None,
-             rank_mask=None, r_true=None) -> VBState:
+             rank_mask=None, r_true=None,
+             gene_mask=None, n_true=None) -> VBState:
     """One CAVI sweep; exact math of reference src/vbnmf_update.cpp:33-90.
 
     ``lgx`` is the precomputed constant  sum_ij lgamma(x_ij + 1).
@@ -341,12 +361,13 @@ def vb_sweep(x, state: VBState, hyper: Hyper, fudge, lgx,
     from the state shapes.  Masking semantics: see
     :func:`posterior_update`.
     """
-    n, _ = state.lw.shape
+    n = n_true if n_true is not None else state.lw.shape[0]
     m = m_true if m_true is not None else state.lh.shape[1]
     sw, sh = suffstats(x, state.lw, state.lh)
     new, pending = posterior_update(
         sw, sh, state, hyper, fudge, lgx, cell_mask=cell_mask,
-        m_true=m_true, rank_mask=rank_mask, r_true=r_true)
+        m_true=m_true, rank_mask=rank_mask, r_true=r_true,
+        gene_mask=gene_mask, n_true=n_true)
     lkh = (pending + data_term(x, new.lw, new.lh)) / (n * m)
     return new._replace(lkh=lkh)
 
@@ -358,6 +379,7 @@ def vb_sweep(x, state: VBState, hyper: Hyper, fudge, lgx,
 def hyper_update(mask, state: VBState, hyper: Hyper, niter: int = 100,
                  tol: float = 1e-4, cell_mask=None, m_true=None,
                  rank_mask=None, r_true=None,
+                 gene_mask=None, n_true=None,
                  means=None) -> tuple[Hyper, jax.Array]:
     """Damped-Newton update of gamma shapes + closed-form means.
 
@@ -383,29 +405,33 @@ def hyper_update(mask, state: VBState, hyper: Hyper, niter: int = 100,
 
     if means is not None:
         lwm, ewm, lhm, ehm = means
-    elif cell_mask is None and rank_mask is None:
+    elif cell_mask is None and rank_mask is None and gene_mask is None:
         lwm = jnp.mean(jnp.log(state.lw))
         ewm = jnp.mean(state.ew)
         lhm = jnp.mean(jnp.log(state.lh))
         ehm = jnp.mean(state.eh)
     else:
-        n = state.lw.shape[0]
         r_pad, m_pad = state.lh.shape
+        n_eff = n_true if n_true is not None else state.lw.shape[0]
         m_eff = m_true if m_true is not None else m_pad
         r_eff = r_true if r_true is not None else r_pad
-        mask_w = (rank_mask[None, :] if rank_mask is not None
-                  else jnp.ones((1, 1), state.lw.dtype))
+        mask_w = jnp.ones((1, 1), state.lw.dtype)
+        if rank_mask is not None:
+            mask_w = mask_w * rank_mask[None, :]
+        if gene_mask is not None:
+            mask_w = mask_w * gene_mask[:, None]
         mask_h = jnp.ones((1, 1), state.lh.dtype)
         if rank_mask is not None:
             mask_h = mask_h * rank_mask[:, None]
         if cell_mask is not None:
             mask_h = mask_h * cell_mask
-        denom_w = n * r_eff
+        denom_w = n_eff * r_eff
         denom_h = r_eff * m_eff
         logw = jnp.where(mask_w > 0, jnp.log(state.lw), 0.0)
         logh = jnp.where(mask_h > 0, jnp.log(state.lh), 0.0)
-        lwm = jnp.sum(logw * mask_w) / denom_w if rank_mask is not None \
-            else jnp.sum(logw) / denom_w
+        lwm = (jnp.sum(logw * mask_w) / denom_w
+               if rank_mask is not None or gene_mask is not None
+               else jnp.sum(logw) / denom_w)
         ewm = jnp.sum(state.ew) / denom_w    # ew masked to 0 in padding
         lhm = jnp.sum(logh * mask_h) / denom_h
         ehm = jnp.sum(state.eh) / denom_h    # eh masked to 0 in padding
@@ -612,7 +638,7 @@ class VBRunResult(NamedTuple):
 
 @partial(jax.jit, static_argnames=("hyper_mask", "n0", "dn",
                                    "suffstats", "data_term", "m_true",
-                                   "fused"))
+                                   "n_true", "fused"))
 def vb_run(x, state0: VBState, hyper0: Hyper, *, itmax: int = 10000,
            tol: float = 1e-5, fudge=None, hyper_mask=(True,) * 4,
            n0: int = 10, dn: int = 1,
@@ -621,6 +647,7 @@ def vb_run(x, state0: VBState, hyper0: Hyper, *, itmax: int = 10000,
            fused=None,
            cell_mask=None, m_true=None,
            rank_mask=None, r_true=None,
+           gene_mask=None, n_true=None,
            it0=1, lk0_init=None) -> VBRunResult:
     """Iterate vb_sweep to convergence for a single restart.
 
@@ -663,7 +690,9 @@ def vb_run(x, state0: VBState, hyper0: Hyper, *, itmax: int = 10000,
                              fudge=fudge, hyper_mask=hyper_mask, n0=n0,
                              dn=dn, fused=fused, cell_mask=cell_mask,
                              m_true=m_true, rank_mask=rank_mask,
-                             r_true=r_true, it0=it0, lk0_init=lk0_init)
+                             r_true=r_true, gene_mask=gene_mask,
+                             n_true=n_true, it0=it0,
+                             lk0_init=lk0_init)
     # SparseCounts -> its nonzero values; plain (possibly traced)
     # arrays pass through.  X may be stored in a compressed integer
     # dtype (drivers.vb_driver storage_dtype) — all loop scalars use
@@ -689,6 +718,11 @@ def vb_run(x, state0: VBState, hyper0: Hyper, *, itmax: int = 10000,
         state0 = state0._replace(
             eh=state0.eh * cell_mask, dh=state0.dh * cell_mask,
             lh=jnp.where(cell_mask > 0, state0.lh, fudge))
+    if gene_mask is not None:
+        mg = gene_mask[:, None]
+        state0 = state0._replace(
+            ew=state0.ew * mg, dw=state0.dw * mg,
+            lw=jnp.where(mg > 0, state0.lw, 1.0))
 
     def cond(carry):
         it, _, _, _, done, _ = carry
@@ -699,13 +733,15 @@ def vb_run(x, state0: VBState, hyper0: Hyper, *, itmax: int = 10000,
         state = vb_sweep(x, state, hyper, fudge, lgx,
                          suffstats=suffstats, data_term=data_term,
                          cell_mask=cell_mask, m_true=m_true,
-                         rank_mask=rank_mask, r_true=r_true)
+                         rank_mask=rank_mask, r_true=r_true,
+                         gene_mask=gene_mask, n_true=n_true)
         do_hyper = (it > n0) & (it % dn == 0)
         # compute the (cheap, scalar) empirical-Bayes update every
         # sweep and mask-select — avoids a cond wrapping nested loops
         new_hyper, failed = hyper_update(
             hyper_mask, state, hyper, cell_mask=cell_mask,
-            m_true=m_true, rank_mask=rank_mask, r_true=r_true)
+            m_true=m_true, rank_mask=rank_mask, r_true=r_true,
+            gene_mask=gene_mask, n_true=n_true)
         hyper = Hyper(*(jnp.where(do_hyper, new, old)
                         for new, old in zip(new_hyper, hyper)))
         hfail = hfail | (do_hyper & failed)
@@ -731,6 +767,7 @@ def _vb_run_fused(x, state0: VBState, hyper0: Hyper, *, itmax, tol,
                   fudge, hyper_mask, n0, dn, fused,
                   cell_mask=None, m_true=None,
                   rank_mask=None, r_true=None,
+                  gene_mask=None, n_true=None,
                   it0=1, lk0_init=0.0) -> VBRunResult:
     """Deferred-ELBO convergence loop over a fused single-pass kernel.
 
@@ -742,7 +779,7 @@ def _vb_run_fused(x, state0: VBState, hyper0: Hyper, *, itmax, tol,
     :func:`vb_run`.
     """
     xval = x.val if isinstance(x, tuple) and hasattr(x, "val") else x
-    n = state0.lw.shape[0]
+    n = n_true if n_true is not None else state0.lw.shape[0]
     m = m_true if m_true is not None else state0.lh.shape[1]
     ref_t = state0.lw.dtype
     if fudge is None:
@@ -762,6 +799,11 @@ def _vb_run_fused(x, state0: VBState, hyper0: Hyper, *, itmax, tol,
         state0 = state0._replace(
             eh=state0.eh * cell_mask, dh=state0.dh * cell_mask,
             lh=jnp.where(cell_mask > 0, state0.lh, fudge))
+    if gene_mask is not None:
+        mg = gene_mask[:, None]
+        state0 = state0._replace(
+            ew=state0.ew * mg, dw=state0.dw * mg,
+            lw=jnp.where(mg > 0, state0.lw, 1.0))
 
     def cond(carry):
         it, _, _, _, _, done, _ = carry
@@ -790,11 +832,13 @@ def _vb_run_fused(x, state0: VBState, hyper0: Hyper, *, itmax, tol,
         sh = state.lh * shn
         new_state, new_pending = posterior_update(
             sw, sh, state, hyper, fudge, lgx, cell_mask=cell_mask,
-            m_true=m_true, rank_mask=rank_mask, r_true=r_true)
+            m_true=m_true, rank_mask=rank_mask, r_true=r_true,
+            gene_mask=gene_mask, n_true=n_true)
         do_hyper = do_sweep & (it > n0) & (it % dn == 0)
         new_hyper, failed = hyper_update(
             hyper_mask, new_state, hyper, cell_mask=cell_mask,
-            m_true=m_true, rank_mask=rank_mask, r_true=r_true)
+            m_true=m_true, rank_mask=rank_mask, r_true=r_true,
+            gene_mask=gene_mask, n_true=n_true)
         hyper = Hyper(*(jnp.where(do_hyper, new, old)
                         for new, old in zip(new_hyper, hyper)))
         hfail = hfail | (do_hyper & failed)

@@ -19,33 +19,41 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 
 def make_mesh(runs: int = 1, cells: int | None = None,
-              devices=None) -> Mesh:
-    """Build a ('runs', 'cells') mesh over the available devices.
+              genes: int = 1, devices=None) -> Mesh:
+    """Build a ('runs', 'genes', 'cells') mesh over the devices.
 
-    ``runs`` shards the restart/rank batch axis; ``cells`` shards the
-    cell axis of X/H.  Defaults to all devices on the cells axis.
+    ``runs`` shards the restart/rank batch axis; ``cells`` the cell
+    axis of X/H (the long data-parallel axis); ``genes`` the gene axis
+    of X/W — the TP dual for huge gene/peak panels (multi-omic,
+    100k+ rows) where replicating W per device wastes HBM and the
+    gene-major kernel shards rows (SURVEY §2.3 TP row).  Defaults:
+    genes=1 (replicated W), all remaining devices on cells.
     """
     if devices is None:
         devices = jax.devices()
     n = len(devices)
     if cells is None:
-        if n % runs != 0:
-            raise ValueError(f"{n} devices not divisible by runs={runs}")
-        cells = n // runs
-    if runs * cells != n:
-        raise ValueError(f"runs*cells = {runs * cells} != {n} devices")
-    arr = np.asarray(devices).reshape(runs, cells)
-    return Mesh(arr, axis_names=("runs", "cells"))
+        if n % (runs * genes) != 0:
+            raise ValueError(
+                f"{n} devices not divisible by runs*genes="
+                f"{runs * genes}")
+        cells = n // (runs * genes)
+    if runs * genes * cells != n:
+        raise ValueError(f"runs*genes*cells = {runs * genes * cells} "
+                         f"!= {n} devices")
+    arr = np.asarray(devices).reshape(runs, genes, cells)
+    return Mesh(arr, axis_names=("runs", "genes", "cells"))
 
 
 def cell_sharding(mesh: Mesh, kind: str) -> NamedSharding:
     """Common shardings: 'x' (genes x cells), 'w' (replicated W-family),
     'h' (r x cells), plus batched 'bw'/'bh' with a leading runs axis."""
+    g = "genes" if "genes" in mesh.axis_names else None
     specs = {
-        "x": P(None, "cells"),
-        "w": P(None, None),
+        "x": P(g, "cells"),
+        "w": P(g, None),
         "h": P(None, "cells"),
-        "bw": P("runs", None, None),
+        "bw": P("runs", g, None),
         "bh": P("runs", None, "cells"),
         "scalar": P(),
         "bscalar": P("runs"),

@@ -62,16 +62,24 @@ def make_fused_sharded(mesh: Mesh, fused_local=None,
         def fused_local(x, lw, lh):
             return pk.fused_pallas(x, lw, lh, **kw)
 
+    g = "genes" if "genes" in mesh.axis_names else None
+
     def local(x, lw, lh):
         swn, shn, dterm = fused_local(x, lw, lh)
+        # duals: swn rows are gene-local, reduce over cell shards;
+        # shn cols are cell-local, reduce over gene shards
         swn = jax.lax.psum(swn, "cells")
-        dterm = jax.lax.psum(dterm, "cells")
+        if g is not None:
+            shn = jax.lax.psum(shn, g)
+            dterm = jax.lax.psum(dterm, (g, "cells"))
+        else:
+            dterm = jax.lax.psum(dterm, "cells")
         return swn, shn, dterm
 
     return _smap(local, mesh,
-                 in_specs=(P(None, "cells"), P(None, None),
+                 in_specs=(P(g, "cells"), P(g, None),
                            P(None, "cells")),
-                 out_specs=(P(None, None), P(None, "cells"), P()))
+                 out_specs=(P(g, None), P(None, "cells"), P()))
 
 
 def make_sparse_fused_sharded(mesh: Mesh, chunk: int = 1 << 16):

@@ -23,8 +23,8 @@ def mesh8():
 
 
 def test_make_mesh_shapes(mesh8):
-    assert mesh8.axis_names == ("runs", "cells")
-    assert mesh8.devices.shape == (2, 4)
+    assert mesh8.axis_names == ("runs", "genes", "cells")
+    assert mesh8.devices.shape == (2, 1, 4)
 
 
 def test_vb_sweep_sharded_matches_single(mesh8):
@@ -139,3 +139,43 @@ def test_vb_factorize_mesh_pallas_backend(mesh8):
         concord = np.mean([remap[ca] == cb
                            for ca, cb in zip(cid_a, cid_b)])
         assert concord > 0.97, (k, concord)
+
+
+def test_vb_factorize_gene_sharded_matches_single():
+    """Gene-axis (TP) sharding: make_mesh(genes=2, cells=4) with X
+    sharded P('genes','cells'), W row-sharded, shn/dterm psum'd over
+    'genes' (the dual of the swn-over-'cells' psum) reproduces the
+    single-device run — non-divisible gene count (row padding + mask)
+    included.  VERDICT r2 item 3 / SURVEY §2.3 TP row."""
+    sim = cf.simulate_whx(nrow=27, ncol=36, rank=3, seed=21)
+    s = cf.SCSet(count=sim["x"])  # 27 rows: not divisible by genes=2
+    kw = dict(ranks=[2, 3], nrun=2, verbose=0, Itmax=150, seed=4,
+              backend="pallas")
+    ref = cf.vb_factorize(s, **kw)
+    mesh = cf.make_mesh(runs=1, genes=2, cells=4)
+    got = cf.vb_factorize(s, mesh=mesh, **kw)
+    assert got.ranks == ref.ranks
+    np.testing.assert_allclose(got.measure["lml"], ref.measure["lml"],
+                               rtol=1e-6)
+    for k in range(len(ref.ranks)):
+        np.testing.assert_allclose(got.basis[k], ref.basis[k],
+                                   rtol=1e-5)
+        np.testing.assert_allclose(got.coeff[k], ref.coeff[k],
+                                   rtol=1e-5)
+
+
+def test_vb_factorize_gene_and_cell_sharded_dense():
+    """2-D sharding (genes x cells) on the dense GSPMD backend."""
+    sim = cf.simulate_whx(nrow=20, ncol=30, rank=2, seed=22)
+    s = cf.SCSet(count=sim["x"])
+    # Tol=0 fixes the sweep count and hyper updates are disabled, so
+    # GSPMD reduction-order noise can neither shift the convergence
+    # sweep nor flip the hyper Newton's early exit between the runs
+    kw = dict(ranks=2, nrun=2, verbose=0, Itmax=60, Tol=0.0, seed=5,
+              hyper_update=(False,) * 4, backend="dense_fused")
+    ref = cf.vb_factorize(s, **kw)
+    mesh = cf.make_mesh(runs=2, genes=2, cells=2)
+    got = cf.vb_factorize(s, mesh=mesh, **kw)
+    np.testing.assert_allclose(got.measure["lml"], ref.measure["lml"],
+                               rtol=1e-8)
+    np.testing.assert_allclose(got.basis[0], ref.basis[0], rtol=1e-6)
