@@ -118,11 +118,47 @@ def bench_vb(n=4096, m=8192, r=16, backend="pallas_fused",
 
     if backend in ("pallas_fused", "pallas_fused_int8",
                    "pallas_fused_int16"):
-        from ccfindr_tpu.ops.pallas import make_fused_backend, pad_matrix
+        # the PRODUCTION path (vb_factorize backend='pallas'): all-
+        # Pallas sweep — X-pass kernel + posterior epilogue kernels +
+        # hyper Newton fed by kernel-byproduct means
+        from ccfindr_tpu.ops.pallas import vb_kernels as pk
+        from ccfindr_tpu.ops.pallas import epilogue as ep
+
         sd = {"pallas_fused": dtype, "pallas_fused_int8": jnp.int8,
               "pallas_fused_int16": jnp.int16}[backend]
-        x = pad_matrix(jnp.asarray(x_np, sd))
-        fused = make_fused_backend()
+        x = pk.pad_matrix(jnp.asarray(x_np, sd))
+        rp_ = max(r, 8)
+        layout = pk._fused_layout(x.shape[0], x.shape[1], rp_)
+        lw_p, lh_p = pk._pad_factors(w, h, x.shape[0], x.shape[1],
+                                     rp_)
+        ehs0 = jnp.zeros((8, rp_), dtype).at[0, :r].set(
+            jnp.sum(h, axis=1))
+        nr, rm = n * r, r * m
+
+        def body(x, carry):
+            lw_c, lh_c, ehs, pend, hy = carry
+            aw, bw, ah, bh = hy
+            swn_p, shn_p, xlog = pk.fused_pallas_raw(
+                x, lw_c, lh_c, layout=layout)
+            out = ep.posterior_update_pallas(
+                swn_p, shn_p, lw_c, lh_c, ehs,
+                jnp.stack([aw, bw, ah, bh]), fudge, n=n, m=m, r=r)
+            from jax.scipy.special import gammaln as _g
+            dterm = -(out["dterm_w"] + out["dterm_h"]) + xlog
+            lkh = (pend + dterm) / (n * m)
+            u1 = -jnp.dot(out["csum"][0], out["rsum"][0]) - lgx
+            cw = nr * (aw * jnp.log(aw / bw) - _g(aw))
+            ch = rm * (ah * jnp.log(ah / bh) - _g(ah))
+            pend2 = u1 + out["u2"] + cw + out["u3"] + ch + 0 * lkh
+            hy2, _ = vb_ops.hyper_update((True,) * 4, None, hy, means=(
+                out["sum_log_lw"] / nr, out["sum_ew"] / nr,
+                out["sum_log_lh"] / rm, out["sum_eh"] / rm))
+            return (out["lw"], out["lh"], out["rsum"], pend2,
+                    vb_ops.Hyper(*hy2))
+
+        return _sweep_rate(body, x,
+                           (lw_p, lh_p, ehs0, jnp.zeros((), dtype),
+                            hyper), k1=k[0], k2=k[1])
     elif backend == "sparse_fused":
         from ccfindr_tpu.ops import sparse as sk
         x = sk.from_dense(x_np, dtype=dtype)
