@@ -1,0 +1,86 @@
+"""sol single-launch sweep vs the 2-kernel epi path (real TPU)."""
+import sys
+import time
+
+sys.path.insert(0, "/root/repo")
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import lax
+
+jax.config.update("jax_compilation_cache_dir", "/root/.cache/jax_comp")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+from ccfindr_tpu.ops.vb import Hyper
+from ccfindr_tpu.ops.pallas import sol
+from ccfindr_tpu.ops.pallas import vb_kernels as pk
+
+n, m, r = 4096, 8192, 16
+rng = np.random.default_rng(0)
+wf = rng.gamma(0.5, 1.0, (n, r)).astype(np.float32)
+hf = rng.gamma(0.5, 1.0, (r, m)).astype(np.float32)
+scale = 2.0 * n * m / float(wf.sum(axis=0) @ hf.sum(axis=1))
+x_np = np.minimum(rng.poisson(wf @ hf * scale), 127)
+w = jnp.asarray(rng.gamma(1.0, 1.0, (n, r)), jnp.float32)
+h = jnp.asarray(rng.gamma(1.0, 1.0, (r, m)), jnp.float32)
+fudge = jnp.float32(np.finfo(np.float32).eps)
+
+
+def timed(body, x, carry, k1=64, k2=320, reps=3):
+    # x threaded as a jit ARG — closing over it bakes a 135 MB
+    # constant into the jaxpr and the remote compile crawls
+    import functools
+
+    @functools.partial(jax.jit, static_argnames=("k",))
+    def fk(x, c, k):
+        return lax.fori_loop(0, k, lambda i, cc: body(i, cc, x), c)
+
+    jax.block_until_ready(fk(x, carry, k1))
+    jax.block_until_ready(fk(x, carry, k2))
+    b1 = b2 = np.inf
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        jax.block_until_ready(fk(x, carry, k1))
+        t1 = time.perf_counter()
+        jax.block_until_ready(fk(x, carry, k2))
+        t2 = time.perf_counter()
+        b1 = min(b1, t1 - t0)
+        b2 = min(b2, t2 - t1)
+    return (b2 - b1) / (k2 - k1) * 1e6
+
+
+for xd, tag in ((jnp.float32, "f32 "), (jnp.int8, "int8"),
+                (jnp.int16, "i16 ")):
+    x = pk.pad_matrix(jnp.asarray(x_np, xd))
+    np_, mp_ = x.shape
+    rp_ = 16
+    lwt_p, lh_p = sol._pad_factors_t(w, h, np_, mp_, rp_)
+    eh_p = jnp.pad(h, ((0, rp_ - r), (0, mp_ - m)))
+    lgx = jnp.float32(0.0)
+
+    # full production body: sol kernel + convergence scalars + selects
+    def body(i, c, x=x):
+        lwt, lh, ewt, eh, dwt, dh, hy, pend = c
+        aw, bw, ah, bh = hy
+        sc = jnp.stack([aw, bw, ah, bh, fudge, jnp.float32(r), lgx,
+                        jnp.float32(0)])[None, :]
+        ewt_n, lwt_n, dwt_n, eh_n, lh_n, dh_n, scal = sol.sol_sweep(
+            x, lwt, lh, eh, sc, n=n, m_arr=m, m_live=m, r=r)
+        lkh = (pend + scal[0, sol._DTERM]) / (n * m)
+        do = ~jnp.isnan(lkh)
+        selv = lambda a, b: jnp.where(do, a, b)  # noqa: E731
+        hy2 = Hyper(aw=selv(scal[0, sol._AW], aw),
+                    bw=selv(scal[0, sol._BW], bw),
+                    ah=selv(scal[0, sol._AH], ah),
+                    bh=selv(scal[0, sol._BH], bh))
+        return (selv(lwt_n, lwt), selv(lh_n, lh), selv(ewt_n, ewt),
+                selv(eh_n, eh), selv(dwt_n, dwt), selv(dh_n, dh),
+                hy2, jnp.where(do, scal[0, sol._PEND], pend))
+
+    hy0 = Hyper(*(jnp.float32(1.0),) * 4)
+    carry = (lwt_p, lh_p, lwt_p * 0 + 1.0, eh_p, lwt_p * 0, eh_p * 0,
+             hy0, jnp.float32(0))
+    t = timed(body, x, carry)
+    print(f"sol full sweep {tag}: {t:7.1f} us  -> "
+          f"{1e6 / t:7.0f} sweeps/s", flush=True)

@@ -561,13 +561,21 @@ def vb_factorize(object, ranks=2, nrun=1, verbose=2,
     run_fn = vb_ops.vb_run
     if use_epi:
         from ..ops.pallas import epilogue as _epi
+        from ..ops.pallas import sol as _sol
         from ..ops.pallas.vb_kernels import (_fused_layout,
                                              _round_up as _ru)
         _layout = _fused_layout(x.shape[0], x.shape[1],
                                 _ru(max(max(ranks), 8), 8))
 
-        def run_fn(xx, st, hy, **kw):
-            return _epi.vb_run_epi(xx, st, hy, layout=_layout, **kw)
+        if _layout == "cm":
+            # single-launch sweep (X-pass + epilogues + hyper Newton
+            # in ONE kernel; ops/pallas/sol.py)
+            run_fn = _sol.vb_run_sol
+        else:
+            # huge gene panels: gene-major X-pass + epilogue kernels
+            def run_fn(xx, st, hy, **kw):
+                return _epi.vb_run_epi(xx, st, hy, layout=_layout,
+                                       **kw)
 
     def _init_random_padded(kk, rank, h1):
         # draw the random state at the TRUE shape, then pad to the

@@ -1,0 +1,545 @@
+"""Single-launch VB sweep ("speed-of-light" path): X-pass + both
+gamma-posterior epilogues + ELBO scalars + the empirical-Bayes Newton
+in ONE Pallas kernel per sweep.
+
+Round-3 profiling on v5e (benchmarks/prof_epi2.py): the X-pass kernel
+alone runs at 184.6 us (~89% of the 134 MB X stream's HBM roofline at
+the north-star shape), but the production sweep cost 239 us — the two
+epilogue kernel launches (+37.6 us, mostly fixed launch/DMA overhead
+over ~4 MB of factor traffic) and the XLA scalar hyper Newton
+(+23.8 us of sequential scalar-op latency) dominated everything
+outside the X stream.  This module removes BOTH kernel launches and
+the XLA Newton:
+
+* **Transposed W layout** — the W-side state lives as ``(r, n)``
+  ("lwt"), making it structurally identical to the H side ``(r, m)``:
+  rank rows pad 0, long-axis cols pad 1.  Measured 5 us/sweep faster
+  X streaming (benchmarks/prof_lwt.py; the MXU takes transposed
+  operands natively via dot_general), and the W epilogue becomes the
+  SAME code as the H epilogue (:func:`_post_tile`).
+* **Phased 1-D grid** — ``nj*ni`` X steps (cell-major: gene tile
+  innermost), then ``ni`` W-epilogue steps, then ``nj`` H-epilogue
+  steps, in one ``pallas_call``: sufficient statistics stay in VMEM
+  scratch between phases, so the epilogues pay no extra launches and
+  no HBM round-trip for swn/shn.
+* **In-kernel hyper Newton** — the damped Newton of
+  ops.vb.hyper_update runs as a scalar ``lax.while_loop`` at the last
+  grid step on the scalar core (digamma_approx/trigamma; the
+  positivity damping is the reference's exact iterated halving,
+  R/bayesian.R:28-35, with non-finite steps zeroed so the loop is
+  total).  The ~8 us/iteration XLA scalar-chain latency disappears.
+* **In-kernel rowSums(eh)** — the W-side beta denominator is
+  recomputed from the carried ``eh`` every sweep (one extra 32 KB
+  block read per cell tile column) instead of threading a carried
+  vector: a resumed run (it0/lk0_init) then reproduces the
+  uninterrupted run BIT-exactly on any backend, because the reduction
+  runs in the same kernel order either way.
+
+Semantics: identical update math to ops/pallas/epilogue.py (reference
+src/vbnmf_update.cpp:38-90, hyper R/bayesian.R:2-53); ELBO/scalar
+reductions accumulate in SMEM per grid step, so f32 sums differ from
+the epilogue path at rounding level (f64 interpret agrees to ~1e-9;
+tests/test_sol.py).  Cell-major layout only — huge gene panels (gm
+layout) stay on ops/pallas/epilogue.vb_run_epi.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+from jax.scipy.special import gammaln
+
+from ..vb import (Hyper, VBRunResult, VBState, digamma_approx,
+                  digamma_gammaln_both, gammaln_approx, trigamma)
+from .vb_kernels import (DEFAULT_BN, DEFAULT_BM, _interpret,
+                         _recip_mul, _round_up)
+
+# scal SMEM slot layout: step accumulators 0..8, last-step derived
+# values 9..15
+(_XLOG, _U2, _U3, _SEW, _SLW, _SEH, _SLH, _DTW, _DTH,
+ _PEND, _DTERM, _AW, _BW, _AH, _BH, _HFAIL) = range(16)
+
+
+def _newton_scalar(aw0, ah0, bw0, bh0, lwm, ewm, lhm, ehm, mask,
+                   niter, tol):
+    """hyper_update's damped Newton on scalars, kernel-lowerable.
+
+    Same math as ops.vb.hyper_update (reference R/bayesian.R:2-53):
+    shapes via Newton with iterated halving to stay positive, means
+    closed-form.  digamma_approx replaces jax.scipy digamma (no
+    Mosaic lowering) — f32-ulp-level difference.  Returns
+    (aw1, bw1, ah1, bh1, failed)."""
+    def nstep(a0, mean_e, mean_l, b0, enabled):
+        if not enabled:
+            return jnp.zeros_like(a0)
+        return ((jnp.log(a0) - digamma_approx(a0) - mean_e / b0 + 1.0
+                 + mean_l - jnp.log(b0))
+                / (1.0 / a0 - trigamma(a0)))
+
+    def pstep(a0, d):
+        # halve until a0 - d > 0 (the reference's exact loop); zero a
+        # non-finite step first so the loop is total (a0 - inf <= 0
+        # forever) — hyper_update's ldexp form parks those at k=0 too
+        d = jnp.where(jnp.isfinite(d), d, jnp.zeros_like(d))
+        return lax.while_loop(lambda dd: a0 - dd <= 0,
+                              lambda dd: dd * 0.5, d)
+
+    if mask[0] or mask[2]:
+        def cond(c):
+            it, _, _, done = c
+            return (~done) & (it < niter - 1)
+
+        def body(c):
+            it, a_w, a_h, _ = c
+            dw = pstep(a_w, nstep(a_w, ewm, lwm, bw0, mask[0]))
+            dh = pstep(a_h, nstep(a_h, ehm, lhm, bh0, mask[2]))
+            aw1 = a_w - dw
+            ah1 = a_h - dh
+            df = (1.0 - aw1 / a_w) ** 2 + (1.0 - ah1 / a_h) ** 2
+            return it + 1, aw1, ah1, df < tol
+
+        _, aw1, ah1, done = lax.while_loop(
+            cond, body, (jnp.int32(0), aw0, ah0, False))
+        failed = ~done
+    else:
+        aw1, ah1 = aw0, ah0
+        failed = jnp.asarray(False)
+    bw1 = ewm if mask[1] else bw0
+    bh1 = ehm if mask[3] else bh0
+    return aw1, bw1, ah1, bh1, failed
+
+
+def _post_tile(sfx, lf, denom, a, b, fudge, r_live, r, col0, ax_live,
+               ax_true):
+    """Gamma-posterior update for one factor tile — BOTH sides (the
+    transposed-W tile and the H tile have identical structure:
+    (rank rows, long-axis cols); rank rows pad 0, long cols pad 1).
+
+    sfx: suffstat numerator tile; lf: current geometric-mean tile;
+    denom: per-rank (rp,) vector entering beta (rowSums(eh) for the W
+    side, colSums(new ew) for the H side); col0: absolute column of
+    the tile's first entry; ax_live/ax_true: live (prefix-mask) and
+    true extents of the long axis (cols in [ax_live, ax_true) pin at
+    fudge — mesh cell padding; cols >= ax_true pad 1; rank rows in
+    [r_live, r) pin at fudge; rows >= r pad 0).  Zone semantics are
+    exactly ops/pallas/epilogue.py's (eager posterior_update parity).
+
+    Returns (e, ln, d, rank_sums, u_sum, e_sum, logl_sum, dterm_sum).
+    """
+    rows, cols = lf.shape
+    row = lax.broadcasted_iota(jnp.int32, (rows, cols), 0)
+    col = col0 + lax.broadcasted_iota(jnp.int32, (rows, cols), 1)
+    live = (row.astype(r_live.dtype) < r_live) & (col < ax_live)
+    pin = (row < r) & (col < ax_true)
+
+    be = 1.0 / (a / b + denom)                 # (rp,)
+    log_be = jnp.log(be)
+    al = a + lf * sfx
+    psi, lgam = digamma_gammaln_both(al)
+    e = jnp.where(live, al * be[:, None], 0.0)
+    ln_raw = jnp.exp(psi) * be[:, None]
+    ln = jnp.where(live, jnp.maximum(ln_raw, fudge),
+                   jnp.where(pin, fudge,
+                             jnp.where(row < r, 1.0, 0.0)))
+    d = jnp.where(live, al * be[:, None] ** 2, 0.0)
+
+    u = jnp.where(live, -(a / b) * e
+                  + al * (1.0 + log_be[:, None]) + lgam, 0.0)
+    logl = jnp.where(live & (ln_raw > fudge),
+                     psi + log_be[:, None],
+                     jnp.where(live, jnp.log(fudge), 0.0))
+    dterm = jnp.where(live,
+                      sfx * lf * jnp.log(jnp.where(live, lf, 1.0)),
+                      0.0)
+    return (e, ln, d, jnp.sum(e, axis=1), jnp.sum(u), jnp.sum(e),
+            jnp.sum(logl), jnp.sum(dterm))
+
+
+def _sol_kernel(n, m_arr, m_live, r, bn, bm, bmh, ni, nj, njh,
+                hyper_mask, newton_niter, newton_tol,
+                x_ref, lwt_ref, lh_ref, eh_ref, lhh_ref, sc_ref,
+                ewt_ref, lwtn_ref, dwt_ref, ehn_ref, lhn_ref, dhn_ref,
+                scal_ref, swnt_s, shn_s, vec_s):
+    t = pl.program_id(0)
+    nxy = ni * nj
+    dt = lwt_ref.dtype
+    acc_t = jnp.promote_types(dt, jnp.float32)
+    aw = sc_ref[0, 0]
+    bw = sc_ref[0, 1]
+    ah = sc_ref[0, 2]
+    bh = sc_ref[0, 3]
+    fudge = sc_ref[0, 4]
+    r_live = sc_ref[0, 5]
+    lgx = sc_ref[0, 6]
+    rp = lwt_ref.shape[0]
+
+    @pl.when(t == 0)
+    def _():
+        vec_s[...] = jnp.zeros_like(vec_s)
+        for k in range(16):             # SMEM stores must be scalar
+            scal_ref[0, k] = jnp.zeros((), scal_ref.dtype)
+
+    # ---- phase X: suffstats + xlog + rowSums(eh) into scratch -------
+    @pl.when(t < nxy)
+    def _():
+        i = t % ni
+        j = t // ni
+        lwt = lwt_ref[...]
+        lh = lh_ref[...]
+        x = x_ref[...].astype(dt)
+        wth = lax.dot_general(lwt, lh, (((0,), (0,)), ((), ())),
+                              preferred_element_type=acc_t)
+        u = _recip_mul(x, wth.astype(dt)).astype(dt)
+        swn_c = lax.dot_general(lh, u, (((1,), (1,)), ((), ())),
+                                preferred_element_type=acc_t
+                                ).astype(swnt_s.dtype)
+        shn_c = jnp.dot(lwt, u, preferred_element_type=acc_t
+                        ).astype(shn_s.dtype)
+
+        @pl.when(j == 0)
+        def _():
+            swnt_s[:, pl.ds(i * bn, bn)] = swn_c
+
+        @pl.when(j > 0)
+        def _():
+            swnt_s[:, pl.ds(i * bn, bn)] += swn_c
+
+        @pl.when(i == 0)
+        def _():
+            shn_s[:, pl.ds(j * bm, bm)] = shn_c
+            # rowSums of the INCOMING eh (the W beta denominator),
+            # accumulated in kernel order — exact under resume
+            vec_s[0:8, :] += _row0(jnp.sum(eh_ref[...], axis=1),
+                                   8, rp, vec_s.dtype)
+
+        @pl.when(i > 0)
+        def _():
+            shn_s[:, pl.ds(j * bm, bm)] += shn_c
+
+        scal_ref[0, _XLOG] += jnp.sum(x * jnp.log(wth)).astype(
+            scal_ref.dtype)
+
+    # ---- W epilogue, folded into the LAST cell-tile column ----------
+    # (j == nj-1 completes swnt tile i — i is innermost — and the ehs
+    # accumulator finished at this j's i == 0 step above, so the W
+    # update runs here, hidden under the remaining X-tile DMA)
+    @pl.when((t >= nxy - ni) & (t < nxy))
+    def _():
+        iw = t - (nxy - ni)
+        sfx = swnt_s[:, pl.ds(iw * bn, bn)].astype(dt)
+        lf = lwt_ref[...]
+        e, ln, d, rsums, u, se, sl, dtm = _post_tile(
+            sfx, lf, vec_s[0, :], aw, bw, fudge, r_live, r,
+            iw * bn, n, n)
+        ewt_ref[...] = e.astype(ewt_ref.dtype)
+        lwtn_ref[...] = ln.astype(lwtn_ref.dtype)
+        dwt_ref[...] = d.astype(dwt_ref.dtype)
+        vec_s[8:16, :] += _row0(rsums, 8, rp, vec_s.dtype)  # csum(ew')
+        scal_ref[0, _U2] += u.astype(scal_ref.dtype)
+        scal_ref[0, _SEW] += se.astype(scal_ref.dtype)
+        scal_ref[0, _SLW] += sl.astype(scal_ref.dtype)
+        scal_ref[0, _DTW] += dtm.astype(scal_ref.dtype)
+
+    # ---- phase H: dual update, consuming colSums(new ew), on WIDE
+    # (rp, bmh) blocks — few appended grid steps ---------------------
+    @pl.when(t >= nxy)
+    def _():
+        jh = t - nxy
+        sfx = shn_s[:, pl.ds(jh * bmh, bmh)].astype(dt)
+        lf = lhh_ref[...]
+        e, ln, d, rsums, u, se, sl, dtm = _post_tile(
+            sfx, lf, vec_s[8, :], ah, bh, fudge, r_live, r,
+            jh * bmh, m_live, m_arr)
+        ehn_ref[...] = e.astype(ehn_ref.dtype)
+        lhn_ref[...] = ln.astype(lhn_ref.dtype)
+        dhn_ref[...] = d.astype(dhn_ref.dtype)
+        vec_s[16:24, :] += _row0(rsums, 8, rp, vec_s.dtype)  # rsum(eh')
+        scal_ref[0, _U3] += u.astype(scal_ref.dtype)
+        scal_ref[0, _SEH] += se.astype(scal_ref.dtype)
+        scal_ref[0, _SLH] += sl.astype(scal_ref.dtype)
+        scal_ref[0, _DTH] += dtm.astype(scal_ref.dtype)
+
+    # ---- last step: ELBO assembly + hyper Newton --------------------
+    @pl.when(t == nxy + njh - 1)
+    def _():
+        u1 = -jnp.sum(vec_s[8, :] * vec_s[16, :]).astype(dt) - lgx
+        nr = n * r_live
+        rm = r_live * m_live
+        const_w = nr * (aw * jnp.log(aw / bw) - gammaln_approx(aw))
+        const_h = rm * (ah * jnp.log(ah / bh) - gammaln_approx(ah))
+        scal_ref[0, _PEND] = (u1 + scal_ref[0, _U2] + const_w
+                              + scal_ref[0, _U3] + const_h)
+        scal_ref[0, _DTERM] = (-(scal_ref[0, _DTW]
+                                 + scal_ref[0, _DTH])
+                               + scal_ref[0, _XLOG])
+        aw1, bw1, ah1, bh1, failed = _newton_scalar(
+            aw, ah, bw, bh,
+            scal_ref[0, _SLW] / nr, scal_ref[0, _SEW] / nr,
+            scal_ref[0, _SLH] / rm, scal_ref[0, _SEH] / rm,
+            hyper_mask, newton_niter, newton_tol)
+        scal_ref[0, _AW] = aw1
+        scal_ref[0, _BW] = bw1
+        scal_ref[0, _AH] = ah1
+        scal_ref[0, _BH] = bh1
+        scal_ref[0, _HFAIL] = failed.astype(scal_ref.dtype)
+
+
+def _row0(vec, rows, lanes, dtype):
+    """(lanes,) vector -> (rows, lanes) block with vec in row 0."""
+    rowi = lax.broadcasted_iota(jnp.int32, (rows, lanes), 0)
+    return jnp.where(rowi == 0, vec[None, :].astype(dtype),
+                     jnp.zeros((), dtype))
+
+
+@functools.partial(jax.jit, static_argnames=(
+    "n", "m_arr", "m_live", "r", "bn", "bm", "hyper_mask",
+    "newton_niter", "newton_tol"))
+def sol_sweep(x_pad, lwt_p, lh_p, eh_p, sc, *, n, m_arr, m_live, r,
+              bn=DEFAULT_BN, bm=DEFAULT_BM, hyper_mask=(True,) * 4,
+              newton_niter=100, newton_tol=1e-4):
+    """One full VB sweep in a single pallas_call.
+
+    Inputs: padded X (np, mp); TRANSPOSED padded factors lwt (rp, np)
+    / lh (rp, mp); padded ``eh`` (rp, mp) (posterior means, zeros in
+    all padding — its in-kernel rowSums are the W beta denominator);
+    ``sc`` (1, 8) scalars [aw, bw, ah, bh, fudge, r_live, lgx, 0]
+    (lgx = hoisted sum lgamma(X+1); r_live = live rank of a batched
+    rank sweep, prefix semantics).
+
+    Returns (ewt, lwtn, dwt, eh, lhn, dh, scal) — factors padded /
+    W-side transposed; ``scal`` (1, 16) carries the accumulated and
+    derived scalars (see module slot constants), including the ELBO
+    ``pend``/``dterm`` pair and the post-Newton hyperparameters.
+    """
+    np_, mp_ = x_pad.shape
+    rp_ = lwt_p.shape[0]
+    ni, nj = np_ // bn, mp_ // bm
+    nxy = ni * nj
+    dt = lwt_p.dtype
+    acc_t = jnp.promote_types(dt, jnp.float32)
+    # H-epilogue block: widest multiple of bm dividing mp_ (few
+    # appended grid steps), capped so the double-buffered lhh + 3
+    # output blocks stay ~2 MB of VMEM
+    bmh = bm
+    kk = 2
+    while kk * bm <= 4096 and mp_ % (kk * bm) == 0:
+        bmh = kk * bm
+        kk *= 2
+    njh = mp_ // bmh
+
+    def x_idx(t):
+        tc = jnp.minimum(t, nxy - 1)
+        return (tc % ni, tc // ni)
+
+    def lwt_idx(t):
+        return (0, jnp.where(t < nxy, t % ni, ni - 1))
+
+    def lh_idx(t):
+        return (0, jnp.where(t < nxy, t // ni, nj - 1))
+
+    def lhh_idx(t):
+        return (0, jnp.where(t < nxy, 0, t - nxy))
+
+    def w_out_idx(t):
+        return (0, jnp.where(t < nxy - ni, 0,
+                             jnp.minimum(t - (nxy - ni), ni - 1)))
+
+    h_out_idx = lhh_idx
+
+    pin = lambda t: (0, 0)          # noqa: E731
+
+    kernel = functools.partial(
+        _sol_kernel, n, m_arr, m_live, r, bn, bm, bmh, ni, nj, njh,
+        tuple(bool(b) for b in hyper_mask), newton_niter, newton_tol)
+
+    return pl.pallas_call(
+        kernel,
+        grid=(nxy + njh,),
+        in_specs=[
+            pl.BlockSpec((bn, bm), x_idx, memory_space=pltpu.VMEM),
+            pl.BlockSpec((rp_, bn), lwt_idx, memory_space=pltpu.VMEM),
+            pl.BlockSpec((rp_, bm), lh_idx, memory_space=pltpu.VMEM),
+            pl.BlockSpec((rp_, bm), lh_idx, memory_space=pltpu.VMEM),
+            pl.BlockSpec((rp_, bmh), lhh_idx, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 8), pin, memory_space=pltpu.SMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((rp_, bn), w_out_idx,
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((rp_, bn), w_out_idx,
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((rp_, bn), w_out_idx,
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((rp_, bmh), h_out_idx,
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((rp_, bmh), h_out_idx,
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((rp_, bmh), h_out_idx,
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 16), pin, memory_space=pltpu.SMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((rp_, np_), dt),
+            jax.ShapeDtypeStruct((rp_, np_), dt),
+            jax.ShapeDtypeStruct((rp_, np_), dt),
+            jax.ShapeDtypeStruct((rp_, mp_), dt),
+            jax.ShapeDtypeStruct((rp_, mp_), dt),
+            jax.ShapeDtypeStruct((rp_, mp_), dt),
+            jax.ShapeDtypeStruct((1, 16), dt),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((rp_, np_), acc_t),
+            pltpu.VMEM((rp_, mp_), acc_t),
+            pltpu.VMEM((24, rp_), dt),   # rows 0/8/16: ehs/csum/rsum
+        ],
+        cost_estimate=pl.CostEstimate(
+            flops=2 * 3 * np_ * mp_ * rp_,
+            bytes_accessed=np_ * mp_ * x_pad.dtype.itemsize,
+            transcendentals=np_ * mp_,
+        ),
+        interpret=_interpret(),
+    )(x_pad, lwt_p, lh_p, eh_p, lh_p, sc)
+
+
+def _pad_factors_t(lw, lh, np_, mp_, rp_):
+    """Transposed-W padding: lwt rank rows pad 0, gene cols pad 1;
+    lh as usual (rank rows 0, cell cols 1)."""
+    n, r = lw.shape
+    m = lh.shape[1]
+    lwt = jnp.pad(lw.T, ((0, 0), (0, np_ - n)), constant_values=1.0)
+    lwt = jnp.pad(lwt, ((0, rp_ - r), (0, 0)))
+    lh_p = jnp.pad(lh, ((0, 0), (0, mp_ - m)), constant_values=1.0)
+    lh_p = jnp.pad(lh_p, ((0, rp_ - r), (0, 0)))
+    return lwt, lh_p
+
+
+@functools.partial(jax.jit, static_argnames=(
+    "hyper_mask", "n0", "dn", "bn", "bm", "m_true"))
+def vb_run_sol(x_pad, state0: VBState, hyper0: Hyper, *,
+               itmax: int = 10000, tol: float = 1e-5, fudge=None,
+               hyper_mask=(True,) * 4, n0: int = 10, dn: int = 1,
+               bn: int = DEFAULT_BN, bm: int = DEFAULT_BM,
+               cell_mask=None, m_true=None, rank_mask=None,
+               r_true=None, it0=1, lk0_init=None) -> VBRunResult:
+    """vb_run with ONE kernel launch per sweep (see module docstring).
+
+    Drop-in twin of ops/pallas/epilogue.vb_run_epi (same signature
+    minus ``layout`` — cell-major only): deferred-ELBO convergence
+    loop, prefix rank/cell masks for batched rank sweeps and mesh
+    padding, exact resume via it0/lk0_init.  The only per-sweep XLA
+    work left is the convergence scalars and the do_sweep selects.
+    Reference: update math src/vbnmf_update.cpp:38-90, driver loop
+    R/bayesian.R:337-352, hyper R/bayesian.R:2-53.
+    """
+    n, r = state0.lw.shape
+    m = m_true if m_true is not None else state0.lh.shape[1]
+    m_arr = state0.lh.shape[1]            # mesh-padded cell extent
+    ref_t = state0.lw.dtype
+    if fudge is None:
+        fudge = jnp.finfo(ref_t).eps
+    fudge = jnp.asarray(fudge, ref_t)
+    tol = jnp.asarray(tol, ref_t)
+    if lk0_init is None:
+        lk0_init = 0.0
+    r_eff = r_true if r_true is not None else r
+
+    np_, mp_ = x_pad.shape
+    rp_ = _round_up(max(r, 8), 8)
+    lgx = jnp.sum(gammaln(x_pad.astype(ref_t) + 1.0))
+
+    # initial-state masking, exactly as vb_run_epi
+    if rank_mask is not None:
+        mw = rank_mask[None, :]
+        mh = rank_mask[:, None]
+        state0 = state0._replace(
+            ew=state0.ew * mw, dw=state0.dw * mw,
+            lw=jnp.where(mw > 0, state0.lw, fudge),
+            eh=state0.eh * mh, dh=state0.dh * mh,
+            lh=jnp.where(mh > 0, state0.lh, fudge))
+    if cell_mask is not None:
+        state0 = state0._replace(
+            eh=state0.eh * cell_mask, dh=state0.dh * cell_mask,
+            lh=jnp.where(cell_mask > 0, state0.lh, fudge))
+
+    def pad_wt(a):
+        return jnp.pad(a.T, ((0, rp_ - r), (0, np_ - n)))
+
+    def pad_h(a):
+        return jnp.pad(a, ((0, rp_ - r), (0, mp_ - m_arr)))
+
+    lwt_p, lh_p = _pad_factors_t(state0.lw, state0.lh, np_, mp_, rp_)
+    ewt_p = pad_wt(state0.ew)
+    dwt_p = pad_wt(state0.dw)
+    eh_p = pad_h(state0.eh)
+    dh_p = pad_h(state0.dh)
+
+    r_live = (jnp.asarray(r_true, ref_t) if rank_mask is not None
+              else jnp.asarray(r, ref_t))
+    nr = n * r_eff
+    rm = r_eff * m
+
+    def cond(carry):
+        it = carry[0]
+        done = carry[-2]
+        return (~done) & (it <= itmax + 1)
+
+    def body(carry):
+        (it, lwt_p, lh_p, ewt_p, eh_p, dwt_p, dh_p, hyper, lk0,
+         pending, lkh, done, hfail) = carry
+        aw, bw, ah, bh = hyper
+
+        sc = jnp.stack([aw, bw, ah, bh, fudge, r_live, lgx,
+                        jnp.zeros((), ref_t)])[None, :].astype(ref_t)
+        (ewt_n, lwt_n, dwt_n, eh_n, lh_n, dh_n, scal) = sol_sweep(
+            x_pad, lwt_p, lh_p, eh_p, sc, n=n, m_arr=m_arr, m_live=m,
+            r=r, bn=bn, bm=bm, hyper_mask=hyper_mask)
+
+        # complete sweep it-1's ELBO (deferred data term)
+        itp = it - 1
+        lkh_prev = (pending + scal[0, _DTERM]) / (n * m)
+        valid = itp >= it_start
+        nan_stop = jnp.isnan(lkh_prev) & valid
+        conv = (valid & (itp > 1) & (itp > n0) & (lkh_prev >= lk0)
+                & (jnp.abs(1.0 - lkh_prev / lk0) < tol))
+        stop = nan_stop | conv
+        lk0 = jnp.where(valid, jnp.where(stop, lk0, lkh_prev), lk0)
+        lkh = jnp.where(valid, lkh_prev, lkh)
+
+        do_sweep = (~stop) & (it <= itmax)
+        do_hyper = do_sweep & (it > n0) & (it % dn == 0)
+        new_hyper = Hyper(aw=scal[0, _AW], bw=scal[0, _BW],
+                          ah=scal[0, _AH], bh=scal[0, _BH])
+        hyper = Hyper(*(jnp.where(do_hyper, new, old)
+                        for new, old in zip(new_hyper, hyper)))
+        hfail = hfail | (do_hyper & (scal[0, _HFAIL] > 0))
+
+        sel = lambda new, old: jnp.where(do_sweep, new, old)  # noqa
+        lwt_p = sel(lwt_n, lwt_p)
+        lh_p = sel(lh_n, lh_p)
+        ewt_p = sel(ewt_n, ewt_p)
+        eh_p = sel(eh_n, eh_p)
+        dwt_p = sel(dwt_n, dwt_p)
+        dh_p = sel(dh_n, dh_p)
+        pending = jnp.where(do_sweep, scal[0, _PEND], pending)
+        done = stop | (it > itmax)
+        return (it + 1, lwt_p, lh_p, ewt_p, eh_p, dwt_p, dh_p,
+                hyper, lk0, pending, lkh, done, hfail)
+
+    it_start = jnp.asarray(it0)
+    carry = (it_start, lwt_p, lh_p, ewt_p, eh_p, dwt_p, dh_p,
+             hyper0, jnp.asarray(lk0_init, ref_t),
+             jnp.asarray(0.0, ref_t), state0.lkh,
+             jnp.asarray(False), jnp.asarray(False))
+    (it, lwt_p, lh_p, ewt_p, eh_p, dwt_p, dh_p, hyper, lk0,
+     _, lkh, done, hfail) = jax.lax.while_loop(cond, body, carry)
+
+    state = VBState(ew=ewt_p[:r, :n].T, eh=eh_p[:r, :m_arr],
+                    lw=lwt_p[:r, :n].T, lh=lh_p[:r, :m_arr],
+                    dw=dwt_p[:r, :n].T, dh=dh_p[:r, :m_arr], lkh=lkh)
+    return VBRunResult(state=state, hyper=hyper, lml=lk0,
+                       n_iter=it - 2, hyper_failed=hfail)

@@ -80,10 +80,11 @@ def trigamma(x):
         acc = acc + jnp.where(xs < shift, 1.0 / (xs * xs), 0.0)
         xs = jnp.where(xs < shift, xs + 1.0, xs)
     z = 1.0 / (xs * xs)
-    # 1/x + 1/(2x^2) + 1/x^3 * (B2 + z*(B4 + z*(B6 + z*(B8 + z*B10))))
-    series = jnp.polyval(
-        jnp.asarray([-691.0 / 2730.0, 5.0 / 66.0, -1.0 / 30.0,
-                     1.0 / 42.0, -1.0 / 30.0, 1.0 / 6.0], x.dtype), z)
+    # 1/x + 1/(2x^2) + 1/x^3 * (B2 + z*(B4 + z*(B6 + z*(B8 + z*B10))));
+    # Horner with PYTHON floats (no captured array constant) so the
+    # same function lowers inside Pallas kernels (see _horner)
+    series = _horner([-691.0 / 2730.0, 5.0 / 66.0, -1.0 / 30.0,
+                      1.0 / 42.0, -1.0 / 30.0, 1.0 / 6.0], z)
     return acc + 1.0 / xs + 0.5 * z + z / xs * series
 
 
