@@ -142,7 +142,7 @@ def bench_vb(n=4096, m=8192, r=16, backend="pallas_fused",
             lwt, lh, ewt, eh, dwt, dh, hy, pend = carry
             aw, bw, ah, bh = hy
             sc = jnp.stack([aw, bw, ah, bh, fudge, r_f, lgx,
-                            jnp.zeros((), dtype)])[None, :]
+                            jnp.ones((), dtype)])[None, :]
             (ewt_n, lwt_n, dwt_n, eh_n, lh_n, dh_n,
              scal) = sp.sol_sweep(x, lwt, lh, eh, sc, n=n, m_arr=m,
                                   m_live=m, r=r)
@@ -368,6 +368,15 @@ def emit(metric, value, unit, vs_baseline=None):
 
 
 def main():
+    # persistent compile cache: the remote TPU compiler takes minutes
+    # per unique kernel shape; cached, a full bench rerun is minutes
+    # not hours
+    import jax
+    jax.config.update("jax_compilation_cache_dir",
+                      "/root/.cache/jax_comp")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs",
+                      1.0)
+
     quick = "--quick" in sys.argv
     n, m, r = 4096, 8192, 16
     cpu_sps = bench_cpu_reference(n, m, r)

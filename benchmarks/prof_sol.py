@@ -64,7 +64,7 @@ for xd, tag in ((jnp.float32, "f32 "), (jnp.int8, "int8"),
         lwt, lh, ewt, eh, dwt, dh, hy, pend = c
         aw, bw, ah, bh = hy
         sc = jnp.stack([aw, bw, ah, bh, fudge, jnp.float32(r), lgx,
-                        jnp.float32(0)])[None, :]
+                        jnp.float32(1)])[None, :]
         ewt_n, lwt_n, dwt_n, eh_n, lh_n, dh_n, scal = sol.sol_sweep(
             x, lwt, lh, eh, sc, n=n, m_arr=m, m_live=m, r=r)
         lkh = (pend + scal[0, sol._DTERM]) / (n * m)

@@ -312,6 +312,7 @@ def vb_factorize(object, ranks=2, nrun=1, verbose=2,
                  suffstats=None, data_term=None,
                  distributed="auto", svd_method="auto",
                  storage_dtype=None, sparse_layout="auto",
+                 elbo_every=1,
                  _process_count=None, _process_id=None):
     """Bayesian NMF inference of a count matrix.
 
@@ -352,6 +353,13 @@ def vb_factorize(object, ranks=2, nrun=1, verbose=2,
     sequential rank paths.
 
     ``suffstats``/``data_term`` override the backend kernels directly.
+
+    ``elbo_every=k`` (opt-in; backend='pallas', single device)
+    evaluates the ELBO and convergence test only every k-th sweep,
+    skipping the data term's O(n*m) transcendental on the others —
+    stopping is conservative since the ELBO is monotone (at most k-1
+    extra sweeps vs the per-sweep rule).
+
     Returns a new :class:`SCSet` with ranks/basis/dbasis/coeff/dcoeff
     and the measure table (rank, lml, aw, bw, ah, bh, nunif) filled.
 
@@ -571,11 +579,21 @@ def vb_factorize(object, ranks=2, nrun=1, verbose=2,
             # single-launch sweep (X-pass + epilogues + hyper Newton
             # in ONE kernel; ops/pallas/sol.py)
             run_fn = _sol.vb_run_sol
+            if elbo_every != 1:
+                # opt-in ELBO/convergence cadence: skips the data
+                # term's O(n*m) x*log(wth) on non-check sweeps;
+                # stopping is conservative (ELBO monotone)
+                run_kwargs["elbo_every"] = int(elbo_every)
         else:
             # huge gene panels: gene-major X-pass + epilogue kernels
             def run_fn(xx, st, hy, **kw):
                 return _epi.vb_run_epi(xx, st, hy, layout=_layout,
                                        **kw)
+
+    if elbo_every != 1 and "elbo_every" not in run_kwargs:
+        raise ValueError(
+            "elbo_every is only supported by backend='pallas' on a "
+            "single device (the cell-major single-launch path)")
 
     def _init_random_padded(kk, rank, h1):
         # draw the random state at the TRUE shape, then pad to the

@@ -176,6 +176,7 @@ def _sol_kernel(n, m_arr, m_live, r, bn, bm, bmh, ni, nj, njh,
     fudge = sc_ref[0, 4]
     r_live = sc_ref[0, 5]
     lgx = sc_ref[0, 6]
+    do_elbo = sc_ref[0, 7] > 0
     rp = lwt_ref.shape[0]
 
     @pl.when(t == 0)
@@ -221,8 +222,12 @@ def _sol_kernel(n, m_arr, m_live, r, bn, bm, bmh, ni, nj, njh,
         def _():
             shn_s[:, pl.ds(j * bm, bm)] += shn_c
 
-        scal_ref[0, _XLOG] += jnp.sum(x * jnp.log(wth)).astype(
-            scal_ref.dtype)
+        # the ELBO data term's only O(n*m) transcendental — skipped
+        # on non-check sweeps under an elbo_every cadence
+        @pl.when(do_elbo)
+        def _():
+            scal_ref[0, _XLOG] += jnp.sum(x * jnp.log(wth)).astype(
+                scal_ref.dtype)
 
     # ---- W epilogue, folded into the LAST cell-tile column ----------
     # (j == nj-1 completes swnt tile i — i is innermost — and the ehs
@@ -307,9 +312,11 @@ def sol_sweep(x_pad, lwt_p, lh_p, eh_p, sc, *, n, m_arr, m_live, r,
     Inputs: padded X (np, mp); TRANSPOSED padded factors lwt (rp, np)
     / lh (rp, mp); padded ``eh`` (rp, mp) (posterior means, zeros in
     all padding — its in-kernel rowSums are the W beta denominator);
-    ``sc`` (1, 8) scalars [aw, bw, ah, bh, fudge, r_live, lgx, 0]
-    (lgx = hoisted sum lgamma(X+1); r_live = live rank of a batched
-    rank sweep, prefix semantics).
+    ``sc`` (1, 8) scalars [aw, bw, ah, bh, fudge, r_live, lgx,
+    do_elbo] (lgx = hoisted sum lgamma(X+1); r_live = live rank of a
+    batched rank sweep, prefix semantics; do_elbo > 0 accumulates the
+    ELBO data term's x*log(wth) — pass 0 to skip it on non-check
+    sweeps of an elbo_every cadence).
 
     Returns (ewt, lwtn, dwt, eh, lhn, dh, scal) — factors padded /
     W-side transposed; ``scal`` (1, 16) carries the accumulated and
@@ -419,13 +426,14 @@ def _pad_factors_t(lw, lh, np_, mp_, rp_):
 
 
 @functools.partial(jax.jit, static_argnames=(
-    "hyper_mask", "n0", "dn", "bn", "bm", "m_true"))
+    "hyper_mask", "n0", "dn", "bn", "bm", "m_true", "elbo_every"))
 def vb_run_sol(x_pad, state0: VBState, hyper0: Hyper, *,
                itmax: int = 10000, tol: float = 1e-5, fudge=None,
                hyper_mask=(True,) * 4, n0: int = 10, dn: int = 1,
                bn: int = DEFAULT_BN, bm: int = DEFAULT_BM,
                cell_mask=None, m_true=None, rank_mask=None,
-               r_true=None, it0=1, lk0_init=None) -> VBRunResult:
+               r_true=None, it0=1, lk0_init=None,
+               elbo_every: int = 1) -> VBRunResult:
     """vb_run with ONE kernel launch per sweep (see module docstring).
 
     Drop-in twin of ops/pallas/epilogue.vb_run_epi (same signature
@@ -435,6 +443,14 @@ def vb_run_sol(x_pad, state0: VBState, hyper0: Hyper, *,
     work left is the convergence scalars and the do_sweep selects.
     Reference: update math src/vbnmf_update.cpp:38-90, driver loop
     R/bayesian.R:337-352, hyper R/bayesian.R:2-53.
+
+    ``elbo_every=k`` (opt-in, default 1 = exact reference semantics)
+    evaluates the ELBO and the convergence test only at sweeps
+    divisible by k, skipping the data term's O(n*m) ``x*log(wth)``
+    VPU pass on the other sweeps.  The ELBO is monotone, so the
+    k-sweep relative change is >= the 1-sweep change: stopping is
+    conservative (never earlier than the per-sweep rule, at most k-1
+    extra sweeps).
     """
     n, r = state0.lw.shape
     m = m_true if m_true is not None else state0.lh.shape[1]
@@ -493,16 +509,18 @@ def vb_run_sol(x_pad, state0: VBState, hyper0: Hyper, *,
          pending, lkh, done, hfail) = carry
         aw, bw, ah, bh = hyper
 
+        itp = it - 1
+        elbo_now = (itp % elbo_every == 0) if elbo_every > 1 \
+            else jnp.asarray(True)
         sc = jnp.stack([aw, bw, ah, bh, fudge, r_live, lgx,
-                        jnp.zeros((), ref_t)])[None, :].astype(ref_t)
+                        elbo_now.astype(ref_t)])[None, :].astype(ref_t)
         (ewt_n, lwt_n, dwt_n, eh_n, lh_n, dh_n, scal) = sol_sweep(
             x_pad, lwt_p, lh_p, eh_p, sc, n=n, m_arr=m_arr, m_live=m,
             r=r, bn=bn, bm=bm, hyper_mask=hyper_mask)
 
         # complete sweep it-1's ELBO (deferred data term)
-        itp = it - 1
         lkh_prev = (pending + scal[0, _DTERM]) / (n * m)
-        valid = itp >= it_start
+        valid = (itp >= it_start) & elbo_now
         nan_stop = jnp.isnan(lkh_prev) & valid
         conv = (valid & (itp > 1) & (itp > n0) & (lkh_prev >= lk0)
                 & (jnp.abs(1.0 - lkh_prev / lk0) < tol))

@@ -93,7 +93,7 @@ def test_sol_single_sweep_matches_epilogue():
                                   np.asarray(lh_p))
     eh_p = jnp.pad(st.eh, ((0, rp_ - r), (0, mp_ - m)))
     sc = jnp.concatenate([hv, jnp.asarray([float(fudge), float(r),
-                                           0.0, 0.0])])[None, :]
+                                           0.0, 1.0])])[None, :]
     (ewt, lwtn, dwt, eh, lhn, dh, scal) = sol.sol_sweep(
         xp, lwt_p, lh_p2, eh_p, sc, n=n, m_arr=m, m_live=m, r=r,
         bn=BN, bm=BM)
@@ -237,3 +237,47 @@ def test_vb_run_sol_int_storage():
                                rtol=1e-12)
     np.testing.assert_allclose(np.asarray(oi.state.ew),
                                np.asarray(of.state.ew), rtol=1e-12)
+
+
+def test_vb_run_sol_elbo_every():
+    """elbo_every=k: conservative stopping (never earlier), final
+    evidence within the convergence tolerance of the per-sweep rule,
+    and n_iter lands on the cadence."""
+    n, m, r = 32, 384, 3
+    x = jnp.asarray(_planted(n, m, r, seed=21))
+    xp = pk.pad_matrix(x, BN, BM)
+    st = _init(n, m, r, seed=8)
+    hy = Hyper(*(jnp.asarray(1.0, jnp.float64),) * 4)
+    kw = dict(itmax=800, tol=1e-6, bn=BN, bm=BM)
+    o1 = sol.vb_run_sol(xp, st, hy, **kw)
+    o4 = sol.vb_run_sol(xp, st, hy, elbo_every=4, **kw)
+    assert int(o1.n_iter) < 800 and int(o4.n_iter) < 800
+    assert int(o4.n_iter) >= int(o1.n_iter)
+    # converged evidence: the cadence run stops later, so its ELBO is
+    # >= (monotone) and within a few tolerances of the per-sweep rule
+    assert float(o4.lml) >= float(o1.lml) - 1e-12
+    np.testing.assert_allclose(float(o4.lml), float(o1.lml),
+                               rtol=5e-5)
+    # k=1 stays bit-identical to the default
+    o1b = sol.vb_run_sol(xp, st, hy, elbo_every=1, **kw)
+    np.testing.assert_array_equal(np.asarray(o1b.state.ew),
+                                  np.asarray(o1.state.ew))
+
+
+def test_driver_elbo_every(tmp_path):
+    """vb_factorize(elbo_every=...) runs on the pallas backend and
+    rejects other backends."""
+    import ccfindr_tpu as cf
+
+    sim = cf.simulate_whx(nrow=25, ncol=40, rank=3, seed=31)
+    s = cf.SCSet(count=sim["x"])
+    a = cf.vb_factorize(s, ranks=[3], nrun=2, verbose=0, Itmax=400,
+                        seed=4, backend="pallas")
+    b = cf.vb_factorize(s, ranks=[3], nrun=2, verbose=0, Itmax=400,
+                        seed=4, backend="pallas", elbo_every=5)
+    assert b.measure["lml"][0] >= a.measure["lml"][0] - 1e-12
+    np.testing.assert_allclose(b.measure["lml"][0],
+                               a.measure["lml"][0], rtol=1e-3)
+    with pytest.raises(ValueError, match="elbo_every"):
+        cf.vb_factorize(s, ranks=[3], nrun=1, verbose=0,
+                        backend="dense", elbo_every=5)
