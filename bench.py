@@ -96,7 +96,7 @@ def _sweep_rate(body, x, state, k1=64, k2=576, reps=3):  # noqa: C901
 
 def bench_vb(n=4096, m=8192, r=16, backend="pallas_fused",
              density=None, x_dtype=None, k=(64, 576),
-             tile_cells=None):
+             tile_cells=None, elbo_term=True, mxu_bf16=False):
     """Device-side VB sweeps/sec for one backend/config."""
     import jax
     import jax.numpy as jnp
@@ -137,15 +137,20 @@ def bench_vb(n=4096, m=8192, r=16, backend="pallas_fused",
                                         rp_)
         eh_p = jnp.pad(h, ((0, rp_ - r), (0, x.shape[1] - m)))
         r_f = jnp.asarray(r, dtype)
+        # elbo_term=False: the steady-state sweep of an opt-in
+        # elbo_every cadence — the data term's O(n*m) x*log(wth) VPU
+        # pass is skipped on non-check sweeps (vb_run_sol elbo_every)
+        do_e = (jnp.ones((), dtype) if elbo_term
+                else jnp.zeros((), dtype))
 
         def body(x, carry):
             lwt, lh, ewt, eh, dwt, dh, hy, pend = carry
             aw, bw, ah, bh = hy
             sc = jnp.stack([aw, bw, ah, bh, fudge, r_f, lgx,
-                            jnp.ones((), dtype)])[None, :]
+                            do_e])[None, :]
             (ewt_n, lwt_n, dwt_n, eh_n, lh_n, dh_n,
              scal) = sp.sol_sweep(x, lwt, lh, eh, sc, n=n, m_arr=m,
-                                  m_live=m, r=r)
+                                  m_live=m, r=r, mxu_bf16=mxu_bf16)
             lkh = (pend + scal[0, sp._DTERM]) / (n * m)
             do = ~jnp.isnan(lkh)
             sel = lambda a, b: jnp.where(do, a, b)  # noqa: E731
@@ -288,7 +293,7 @@ def bench_ml(n=4096, m=8192, r=16, k=(32, 160)):
     return _sweep_rate(body, xp, (w, h), k1=k[0], k2=k[1])
 
 
-def bench_convergence(n=4096, m=8192, r=16):
+def bench_convergence(n=4096, m=8192, r=16, elbo_every=1):
     """Time-to-converged-ELBO (the second north-star metric): one
     restart of vb_run on the planted problem, production backend,
     reference defaults (tol=1e-5, hyper cadence n0=10/dn=1)."""
@@ -307,7 +312,8 @@ def bench_convergence(n=4096, m=8192, r=16):
     st = vb_ops.vb_init_random(key, n, m, r, hyper, dtype)
 
     def run():
-        return sp.vb_run_sol(xp, st, hyper, itmax=10000, tol=1e-5)
+        return sp.vb_run_sol(xp, st, hyper, itmax=10000, tol=1e-5,
+                             elbo_every=elbo_every)
     out = run()                              # compile + warm
     jax.block_until_ready(out)
     t0 = time.perf_counter()
@@ -432,6 +438,21 @@ def main():
         except Exception as e:          # noqa: BLE001
             print(json.dumps({"metric": "ell_oversize",
                               "error": str(e)[:200]}), flush=True)
+        # opt-in elbo_every cadence: steady-state (non-check) sweep
+        # rate with the ELBO data term's O(n*m) VPU pass skipped
+        sps = bench_vb(n, m, r, elbo_term=False)
+        emit(f"vb_sweeps_per_sec_chip_n{n}_m{m}_r{r}_noelbo", sps,
+             "sweeps/s")
+        # opt-in precision='bf16': bf16 MXU operands in the three
+        # GEMMs (f32 accumulation) — the narrow-GEMM MXU wall is the
+        # binding cost of the r<=32 sweep (BASELINE.md round 3)
+        sps = bench_vb(n, m, r, mxu_bf16=True)
+        emit(f"vb_sweeps_per_sec_chip_n{n}_m{m}_r{r}_bf16", sps,
+             "sweeps/s")
+        sps = bench_vb(n, m, r, backend="pallas_fused_int8",
+                       mxu_bf16=True)
+        emit(f"vb_sweeps_per_sec_chip_n{n}_m{m}_r{r}_xint8_bf16",
+             sps, "sweeps/s")
         # ML (Lee-Seung) fused path
         sps = bench_ml(n, m, r)
         emit(f"ml_sweeps_per_sec_chip_n{n}_m{m}_r{r}", sps,
@@ -441,6 +462,11 @@ def main():
         emit(f"vb_time_to_converged_elbo_n{n}_m{m}_r{r}", dt, "s")
         emit(f"vb_sweeps_to_converged_elbo_n{n}_m{m}_r{r}", nit,
              "sweeps")
+        # same run under the opt-in cadence (check every 10 sweeps;
+        # stopping is conservative — see vb_run_sol docstring)
+        dt10, nit10 = bench_convergence(n, m, r, elbo_every=10)
+        emit(f"vb_time_to_converged_elbo_n{n}_m{m}_r{r}_elbo10",
+             dt10, "s")
         # bundled-dataset full rank scan
         try:
             dt, ropt = bench_workflow()

@@ -312,7 +312,7 @@ def vb_factorize(object, ranks=2, nrun=1, verbose=2,
                  suffstats=None, data_term=None,
                  distributed="auto", svd_method="auto",
                  storage_dtype=None, sparse_layout="auto",
-                 elbo_every=1,
+                 elbo_every=1, precision="f32",
                  _process_count=None, _process_id=None):
     """Bayesian NMF inference of a count matrix.
 
@@ -359,6 +359,14 @@ def vb_factorize(object, ranks=2, nrun=1, verbose=2,
     skipping the data term's O(n*m) transcendental on the others —
     stopping is conservative since the ELBO is monotone (at most k-1
     extra sweeps vs the per-sweep rule).
+
+    ``precision='bf16'`` (opt-in; backend='pallas', single device)
+    pre-casts the sweep's three GEMM operands to bf16 (f32
+    accumulation; the TPU MXU already truncates f32 operands to
+    bf16 per pass, so this changes numerics only marginally while
+    halving the operand traffic feeding the MXU — ~9% faster
+    sweeps measured).  Converged factors move ~1e-3 relative;
+    cluster assignments are unchanged (tests/test_sol.py).
 
     Returns a new :class:`SCSet` with ranks/basis/dbasis/coeff/dcoeff
     and the measure table (rank, lml, aw, bw, ah, bh, nunif) filled.
@@ -584,6 +592,11 @@ def vb_factorize(object, ranks=2, nrun=1, verbose=2,
                 # term's O(n*m) x*log(wth) on non-check sweeps;
                 # stopping is conservative (ELBO monotone)
                 run_kwargs["elbo_every"] = int(elbo_every)
+            if precision == "bf16":
+                # opt-in: bf16 MXU operands (f32 accumulation) in
+                # the sweep's three GEMMs — the narrow-GEMM wall at
+                # r<=32 is the binding cost (BASELINE.md round 3)
+                run_kwargs["mxu_bf16"] = True
         else:
             # huge gene panels: gene-major X-pass + epilogue kernels
             def run_fn(xx, st, hy, **kw):
@@ -594,6 +607,12 @@ def vb_factorize(object, ranks=2, nrun=1, verbose=2,
         raise ValueError(
             "elbo_every is only supported by backend='pallas' on a "
             "single device (the cell-major single-launch path)")
+    if precision not in ("f32", "bf16"):
+        raise ValueError(f"unknown precision {precision!r}")
+    if precision == "bf16" and "mxu_bf16" not in run_kwargs:
+        raise ValueError(
+            "precision='bf16' is only supported by backend='pallas' "
+            "on a single device (the cell-major single-launch path)")
 
     def _init_random_padded(kk, rank, h1):
         # draw the random state at the TRUE shape, then pad to the

@@ -161,7 +161,7 @@ def _post_tile(sfx, lf, denom, a, b, fudge, r_live, r, col0, ax_live,
 
 
 def _sol_kernel(n, m_arr, m_live, r, bn, bm, bmh, ni, nj, njh,
-                hyper_mask, newton_niter, newton_tol,
+                hyper_mask, newton_niter, newton_tol, mxu_bf16,
                 x_ref, lwt_ref, lh_ref, eh_ref, lhh_ref, sc_ref,
                 ewt_ref, lwtn_ref, dwt_ref, ehn_ref, lhn_ref, dhn_ref,
                 scal_ref, swnt_s, shn_s, vec_s):
@@ -193,13 +193,22 @@ def _sol_kernel(n, m_arr, m_live, r, bn, bm, bmh, ni, nj, njh,
         lwt = lwt_ref[...]
         lh = lh_ref[...]
         x = x_ref[...].astype(dt)
-        wth = lax.dot_general(lwt, lh, (((0,), (0,)), ((), ())),
+        # mxu_bf16 (opt-in, vb_factorize precision='bf16'):
+        # pre-cast the three GEMMs' operands to bf16 in VREGs.  The
+        # MXU already truncates f32 operands to 1-pass bf16 by
+        # default on TPU, so the numerics barely move; the win
+        # (~9% measured) is the halved operand bandwidth/layout cost
+        # feeding the MXU.  f32 accumulation throughout.
+        mt = jnp.bfloat16 if mxu_bf16 else dt
+        lwt_m = lwt.astype(mt)
+        lh_m = lh.astype(mt)
+        wth = lax.dot_general(lwt_m, lh_m, (((0,), (0,)), ((), ())),
                               preferred_element_type=acc_t)
-        u = _recip_mul(x, wth.astype(dt)).astype(dt)
-        swn_c = lax.dot_general(lh, u, (((1,), (1,)), ((), ())),
+        u = _recip_mul(x, wth.astype(dt)).astype(mt)
+        swn_c = lax.dot_general(lh_m, u, (((1,), (1,)), ((), ())),
                                 preferred_element_type=acc_t
                                 ).astype(swnt_s.dtype)
-        shn_c = jnp.dot(lwt, u, preferred_element_type=acc_t
+        shn_c = jnp.dot(lwt_m, u, preferred_element_type=acc_t
                         ).astype(shn_s.dtype)
 
         @pl.when(j == 0)
@@ -303,10 +312,10 @@ def _row0(vec, rows, lanes, dtype):
 
 @functools.partial(jax.jit, static_argnames=(
     "n", "m_arr", "m_live", "r", "bn", "bm", "hyper_mask",
-    "newton_niter", "newton_tol"))
+    "newton_niter", "newton_tol", "mxu_bf16"))
 def sol_sweep(x_pad, lwt_p, lh_p, eh_p, sc, *, n, m_arr, m_live, r,
               bn=DEFAULT_BN, bm=DEFAULT_BM, hyper_mask=(True,) * 4,
-              newton_niter=100, newton_tol=1e-4):
+              newton_niter=100, newton_tol=1e-4, mxu_bf16=False):
     """One full VB sweep in a single pallas_call.
 
     Inputs: padded X (np, mp); TRANSPOSED padded factors lwt (rp, np)
@@ -331,10 +340,13 @@ def sol_sweep(x_pad, lwt_p, lh_p, eh_p, sc, *, n, m_arr, m_live, r,
     acc_t = jnp.promote_types(dt, jnp.float32)
     # H-epilogue block: widest multiple of bm dividing mp_ (few
     # appended grid steps), capped so the double-buffered lhh + 3
-    # output blocks stay ~2 MB of VMEM
+    # output blocks stay ~2 MB of VMEM (the rp_ factor keeps that cap
+    # rank-independent: at rp_=32 the 4096-wide blocks of the rp_=16
+    # tuning overflowed the default 16 MB scoped-VMEM budget)
     bmh = bm
     kk = 2
-    while kk * bm <= 4096 and mp_ % (kk * bm) == 0:
+    while (kk * bm <= 4096 and kk * bm * rp_ <= 4096 * 16
+           and mp_ % (kk * bm) == 0):
         bmh = kk * bm
         kk *= 2
     njh = mp_ // bmh
@@ -362,7 +374,8 @@ def sol_sweep(x_pad, lwt_p, lh_p, eh_p, sc, *, n, m_arr, m_live, r,
 
     kernel = functools.partial(
         _sol_kernel, n, m_arr, m_live, r, bn, bm, bmh, ni, nj, njh,
-        tuple(bool(b) for b in hyper_mask), newton_niter, newton_tol)
+        tuple(bool(b) for b in hyper_mask), newton_niter, newton_tol,
+        bool(mxu_bf16))
 
     return pl.pallas_call(
         kernel,
@@ -409,6 +422,18 @@ def sol_sweep(x_pad, lwt_p, lh_p, eh_p, sc, *, n, m_arr, m_live, r,
             bytes_accessed=np_ * mp_ * x_pad.dtype.itemsize,
             transcendentals=np_ * mp_,
         ),
+        # the (rp, np)+(rp, mp) suffstat scratch is inherent to the
+        # single-launch design and outgrows the default 16 MB scoped
+        # budget at large m (atlas shapes) or rp>16; size the budget
+        # from the actual buffers (v5e has 128 MB physical VMEM)
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=min(
+                100 * 2 ** 20,
+                max(16 * 2 ** 20,
+                    4 * (rp_ * (np_ + mp_))       # suffstat scratch
+                    + 2 * (bn * bm * x_pad.dtype.itemsize
+                           + 4 * rp_ * (3 * bn + 2 * bm + 4 * bmh))
+                    + 8 * 2 ** 20))),
         interpret=_interpret(),
     )(x_pad, lwt_p, lh_p, eh_p, lh_p, sc)
 
@@ -426,14 +451,16 @@ def _pad_factors_t(lw, lh, np_, mp_, rp_):
 
 
 @functools.partial(jax.jit, static_argnames=(
-    "hyper_mask", "n0", "dn", "bn", "bm", "m_true", "elbo_every"))
+    "hyper_mask", "n0", "dn", "bn", "bm", "m_true", "elbo_every",
+    "mxu_bf16"))
 def vb_run_sol(x_pad, state0: VBState, hyper0: Hyper, *,
                itmax: int = 10000, tol: float = 1e-5, fudge=None,
                hyper_mask=(True,) * 4, n0: int = 10, dn: int = 1,
                bn: int = DEFAULT_BN, bm: int = DEFAULT_BM,
                cell_mask=None, m_true=None, rank_mask=None,
                r_true=None, it0=1, lk0_init=None,
-               elbo_every: int = 1) -> VBRunResult:
+               elbo_every: int = 1, mxu_bf16: bool = False
+               ) -> VBRunResult:
     """vb_run with ONE kernel launch per sweep (see module docstring).
 
     Drop-in twin of ops/pallas/epilogue.vb_run_epi (same signature
@@ -516,7 +543,8 @@ def vb_run_sol(x_pad, state0: VBState, hyper0: Hyper, *,
                         elbo_now.astype(ref_t)])[None, :].astype(ref_t)
         (ewt_n, lwt_n, dwt_n, eh_n, lh_n, dh_n, scal) = sol_sweep(
             x_pad, lwt_p, lh_p, eh_p, sc, n=n, m_arr=m_arr, m_live=m,
-            r=r, bn=bn, bm=bm, hyper_mask=hyper_mask)
+            r=r, bn=bn, bm=bm, hyper_mask=hyper_mask,
+            mxu_bf16=mxu_bf16)
 
         # complete sweep it-1's ELBO (deferred data term)
         lkh_prev = (pending + scal[0, _DTERM]) / (n * m)

@@ -281,3 +281,45 @@ def test_driver_elbo_every(tmp_path):
     with pytest.raises(ValueError, match="elbo_every"):
         cf.vb_factorize(s, ranks=[3], nrun=1, verbose=0,
                         backend="dense", elbo_every=5)
+
+
+def test_vb_run_sol_mxu_bf16():
+    """precision='bf16' (bf16 MXU operands, f32 accumulation) stays
+    within ~1e-3 relative of the full-precision fixed point and
+    yields the same hard clustering."""
+    n, m, r = 24, 40, 3
+    x = jnp.asarray(_planted(n, m, r))
+    xp = pk.pad_matrix(x, BN, BM)
+    st = _init(n, m, r)
+    hy = Hyper(*(jnp.asarray(1.0, jnp.float64),) * 4)
+    kw = dict(itmax=30, tol=1e-6, bn=BN, bm=BM)
+    out = sol.vb_run_sol(xp, st, hy, **kw)
+    out_b = sol.vb_run_sol(xp, st, hy, mxu_bf16=True, **kw)
+    np.testing.assert_allclose(float(out_b.lml), float(out.lml),
+                               rtol=5e-3)
+    np.testing.assert_allclose(np.asarray(out_b.state.eh),
+                               np.asarray(out.state.eh),
+                               rtol=0.25, atol=1e-2)
+    assert (np.argmax(np.asarray(out_b.state.eh), axis=0)
+            == np.argmax(np.asarray(out.state.eh), axis=0)).all()
+
+
+def test_driver_precision_bf16():
+    """vb_factorize(precision='bf16') runs on the pallas backend,
+    matches f32 rank selection, and rejects other backends."""
+    import ccfindr_tpu as cf
+
+    sim = cf.simulate_whx(nrow=25, ncol=40, rank=3, seed=31)
+    s = cf.SCSet(count=sim["x"])
+    a = cf.vb_factorize(s, ranks=[3], nrun=2, verbose=0, Itmax=300,
+                        seed=4, backend="pallas")
+    b = cf.vb_factorize(s, ranks=[3], nrun=2, verbose=0, Itmax=300,
+                        seed=4, backend="pallas", precision="bf16")
+    # convergence-point (not per-sweep) comparison, and best-of-nrun
+    # selection may pick a different restart under the bf16
+    # perturbation — tolerance is necessarily loose
+    np.testing.assert_allclose(b.measure["lml"][0],
+                               a.measure["lml"][0], rtol=5e-2)
+    with pytest.raises(ValueError, match="precision"):
+        cf.vb_factorize(s, ranks=[3], nrun=1, verbose=0,
+                        backend="dense", precision="bf16")
