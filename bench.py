@@ -151,7 +151,7 @@ def bench_vb(n=4096, m=8192, r=16, backend="pallas_fused",
             (ewt_n, lwt_n, dwt_n, eh_n, lh_n, dh_n,
              scal) = sp.sol_sweep(x, lwt, lh, eh, sc, n=n, m_arr=m,
                                   m_live=m, r=r, mxu_bf16=mxu_bf16)
-            lkh = (pend + scal[0, sp._DTERM]) / (n * m)
+            lkh = (pend + scal[0, sp._DTERM]) / (float(n) * float(m))
             do = ~jnp.isnan(lkh)
             sel = lambda a, b: jnp.where(do, a, b)  # noqa: E731
             hy2 = vb_ops.Hyper(aw=sel(scal[0, sp._AW], aw),
@@ -193,7 +193,8 @@ def bench_vb(n=4096, m=8192, r=16, backend="pallas_fused",
         new, pending = vb_ops.posterior_update(
             st.lw * swn, st.lh * shn, st, hy, fudge, lgx)
         hy2, _ = vb_ops.hyper_update((True,) * 4, new, hy)
-        return (new._replace(lkh=(pending + dterm) / (n * m)), hy2)
+        return (new._replace(lkh=(pending + dterm)
+                     / (float(n) * float(m))), hy2)
 
     return _sweep_rate(body, x, (state, hyper), k1=k[0], k2=k[1])
 
@@ -260,7 +261,8 @@ def bench_ell_oversize(n=16384, m=1114112, r=16, density=0.02,
         new, pending = vb_ops.posterior_update(
             st.lw * swn, st.lh * shn, st, hy, fudge, lgx)
         hy2, _ = vb_ops.hyper_update((True,) * 4, new, hy)
-        return (new._replace(lkh=(pending + dterm) / (n * m)), hy2)
+        return (new._replace(lkh=(pending + dterm)
+                     / (float(n) * float(m))), hy2)
 
     sps_rate = _sweep_rate(body, ec, (state, hyper), k1=k[0],
                            k2=k[1], reps=1)

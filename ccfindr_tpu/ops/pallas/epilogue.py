@@ -422,7 +422,7 @@ def vb_run_epi(x_pad, state0: VBState, hyper0: Hyper, *,
         itp = it - 1
         dterm = -(out["dterm_w"] + out["dterm_h"]) \
             + xlog.astype(ref_t)
-        lkh_prev = (pending + dterm) / (n * m)
+        lkh_prev = (pending + dterm) / (float(n) * float(m))
         valid = itp >= it_start
         nan_stop = jnp.isnan(lkh_prev) & valid
         conv = (valid & (itp > 1) & (itp > n0) & (lkh_prev >= lk0)

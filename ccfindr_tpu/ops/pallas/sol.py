@@ -547,7 +547,7 @@ def vb_run_sol(x_pad, state0: VBState, hyper0: Hyper, *,
             mxu_bf16=mxu_bf16)
 
         # complete sweep it-1's ELBO (deferred data term)
-        lkh_prev = (pending + scal[0, _DTERM]) / (n * m)
+        lkh_prev = (pending + scal[0, _DTERM]) / (float(n) * float(m))
         valid = (itp >= it_start) & elbo_now
         nan_stop = jnp.isnan(lkh_prev) & valid
         conv = (valid & (itp > 1) & (itp > n0) & (lkh_prev >= lk0)

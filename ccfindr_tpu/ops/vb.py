@@ -369,7 +369,7 @@ def vb_sweep(x, state: VBState, hyper: Hyper, fudge, lgx,
         sw, sh, state, hyper, fudge, lgx, cell_mask=cell_mask,
         m_true=m_true, rank_mask=rank_mask, r_true=r_true,
         gene_mask=gene_mask, n_true=n_true)
-    lkh = (pending + data_term(x, new.lw, new.lh)) / (n * m)
+    lkh = (pending + data_term(x, new.lw, new.lh)) / (float(n) * float(m))
     return new._replace(lkh=lkh)
 
 
@@ -814,7 +814,7 @@ def _vb_run_fused(x, state0: VBState, hyper0: Hyper, *, itmax, tol,
         it, state, hyper, lk0, pending, done, hfail = carry
         swn, shn, dterm = fused(x, state.lw, state.lh)
         itp = it - 1                      # the sweep being checked
-        lkh_prev = (pending + dterm) / (n * m)
+        lkh_prev = (pending + dterm) / (float(n) * float(m))
         # pending is only valid for sweeps performed in THIS call
         # (itp >= it0); on resume, sweep it0-1 was already checked by
         # the previous call and lk0_init carries its ELBO
