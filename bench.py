@@ -177,6 +177,12 @@ def bench_vb(n=4096, m=8192, r=16, backend="pallas_fused",
         from ccfindr_tpu.ops import ell as ek
         x = ek.from_scipy_ell(sp.csr_matrix(x_np), dtype=dtype)
         fused = ek.make_ell_fused()
+    elif backend == "sparse_tile":
+        import scipy.sparse as sp
+
+        from ccfindr_tpu.ops import tile as tk
+        x = tk.from_scipy_tile(sp.csr_matrix(x_np), dtype=dtype)
+        fused = tk.make_tile_fused()
     elif backend == "dense_fused":
         x = jnp.asarray(x_np, dtype)
         fused = vb_ops.fused_dense
@@ -199,23 +205,23 @@ def bench_vb(n=4096, m=8192, r=16, backend="pallas_fused",
     return _sweep_rate(body, x, (state, hyper), k1=k[0], k2=k[1])
 
 
-def bench_ell_oversize(n=16384, m=1114112, r=16, density=0.02,
-                       tile=128, k=(1, 2)):
+def bench_sparse_oversize(n=16384, m=1114112, r=16, density=0.02,
+                          tile=128, layouts=("tile", "ell")):
     """HBM-capacity demo (the sparse backends' reason to exist,
     BASELINE.md 'sparse strategy' note): a count matrix whose
     dense-int8 footprint EXCEEDS one v5e's 16 GB HBM (n*m = 18.3 GB)
-    but whose dual-ELL nonzeros fit comfortably.  Runs the full
-    production ELL sweep (fused_ell + posterior + hyper) on the real
-    chip and reports sweeps/s + bytes actually resident.
+    but whose sparse layouts fit comfortably.  Runs the full
+    production sweep (fused + posterior + hyper) for each layout on
+    the real chip and reports sweeps/s + bytes actually resident.
 
     The matrix is planted-rank Poisson masked to ``density``; cells
     are tiled from a base block (identical per-sweep work, bounded
     host generation time).
     """
+    import jax
     import jax.numpy as jnp
     import scipy.sparse as sps
 
-    from ccfindr_tpu.ops import ell as ek
     from ccfindr_tpu.ops import vb as vb_ops
     from ccfindr_tpu.ops.vb import Hyper, VBState
 
@@ -235,12 +241,6 @@ def bench_ell_oversize(n=16384, m=1114112, r=16, density=0.02,
     del chunks
     full = sps.hstack([base] * tile, format="csr")
     nnz = full.nnz
-    ec = ek.from_scipy_ell(full, dtype=dtype)
-    del full
-    dev_bytes = sum(
-        int(a.size) * a.dtype.itemsize
-        for a in (ec.gcol, ec.gval, ec.crow, ec.cval, ec.gtrow,
-                  ec.gtcol, ec.gtval, ec.ctrow, ec.ctcol, ec.ctval))
 
     from scipy.special import gammaln as _gammaln
     cnt = np.bincount(base.data, minlength=2) * tile
@@ -253,22 +253,83 @@ def bench_ell_oversize(n=16384, m=1114112, r=16, density=0.02,
                     lkh=jnp.asarray(-jnp.inf, dtype))
     hyper = Hyper(*(jnp.asarray(1.0, dtype),) * 4)
     fudge = jnp.asarray(np.finfo(np.float32).eps, dtype)
-    fused = ek.make_ell_fused()
 
-    def body(x, carry):
-        st, hy = carry
-        swn, shn, dterm = fused(x, st.lw, st.lh)
-        new, pending = vb_ops.posterior_update(
-            st.lw * swn, st.lh * shn, st, hy, fudge, lgx)
-        hy2, _ = vb_ops.hyper_update((True,) * 4, new, hy)
-        return (new._replace(lkh=(pending + dterm)
-                     / (float(n) * float(m))), hy2)
+    out = {}
+    for layout in layouts:
+        if layout == "tile":
+            from ccfindr_tpu.ops import tile as tk
+            x = tk.from_scipy_tile(full, dtype=dtype)
+            fused = tk.make_tile_fused()
+            k = (1, 11)
+        else:
+            from ccfindr_tpu.ops import ell as ek
+            x = ek.from_scipy_ell(full, dtype=dtype)
+            fused = ek.make_ell_fused()
+            k = (1, 2)
+        dev_bytes = sum(
+            int(a.size) * a.dtype.itemsize for a in jax.tree.leaves(x)
+            if hasattr(a, "size"))
 
-    sps_rate = _sweep_rate(body, ec, (state, hyper), k1=k[0],
+        def body(xx, carry):
+            st, hy = carry
+            swn, shn, dterm = fused(xx, st.lw, st.lh)
+            new, pending = vb_ops.posterior_update(
+                st.lw * swn, st.lh * shn, st, hy, fudge, lgx)
+            hy2, _ = vb_ops.hyper_update((True,) * 4, new, hy)
+            return (new._replace(lkh=(pending + dterm)
+                         / (float(n) * float(m))), hy2)
+
+        rate = _sweep_rate(body, x, (state, hyper), k1=k[0],
                            k2=k[1], reps=1)
-    return sps_rate, dict(nnz=int(nnz),
-                          dev_gb=dev_bytes / 2 ** 30,
-                          dense_int8_gb=n * m / 2 ** 30)
+        out[layout] = (rate, dev_bytes / 2 ** 30)
+        del x
+    return out, dict(nnz=int(nnz), dense_int8_gb=n * m / 2 ** 30)
+
+
+def bench_compaction(n=2048, m=8192, planted_r=6, ranks=None, nrun=5,
+                     itmax=8000, every=250, tol=1e-7):
+    """Converged-lane compaction on a heterogeneous rank scan
+    (2..16 x nrun): wall-clock of the batched vb_factorize WITH
+    compact_every vs WITHOUT.  Low ranks converge in hundreds of
+    sweeps, high ranks in thousands; without compaction every chunk
+    keeps paying full-batch sweeps for the finished lanes.  Results
+    are bit-identical either way (tests/test_drivers.py).
+    """
+    import time as _t
+
+    import ccfindr_tpu as cf
+
+    if ranks is None:
+        ranks = list(range(2, 17))
+    rng = np.random.default_rng(3)
+    wf = rng.gamma(0.5, 1.0, (n, planted_r))
+    hf = rng.gamma(0.5, 1.0, (planted_r, m))
+    x = rng.poisson(wf @ hf * (2.0 * n * m / (wf.sum(0) @ hf.sum(1))))
+    x[x.sum(axis=1) == 0, 0] += 1
+    x[0, x.sum(axis=0) == 0] += 1
+    # Tol tightened to 1e-7: at the reference default 1e-5 every
+    # rank converges inside the first chunk at this shape and there is
+    # no tail to compact; the tight tolerance reproduces the
+    # heterogeneous long-tail scan the feature targets
+    kw = dict(ranks=ranks, nrun=nrun, verbose=0, Itmax=itmax, seed=0,
+              backend="pallas", unif_stop=False, Tol=tol)
+
+    def run(**extra):
+        return cf.vb_factorize(x, **kw, **extra)
+
+    run()                                    # compile, plain
+    run(compact_every=every)                 # compile, all batch sizes
+    t0 = _t.perf_counter()
+    a = run()
+    t_plain = _t.perf_counter() - t0
+    t0 = _t.perf_counter()
+    b = run(compact_every=every)
+    t_comp = _t.perf_counter() - t0
+    # the fused compacted chunks run in a different XLA fusion
+    # context; evidences agree to float precision (driver docstring)
+    same = bool(np.allclose(a.measure["lml"].to_numpy(),
+                            b.measure["lml"].to_numpy(), rtol=1e-5))
+    return t_plain, t_comp, same
 
 
 def bench_ml(n=4096, m=8192, r=16, k=(32, 160)):
@@ -411,6 +472,13 @@ def main():
                        density=0.10, k=(16, 80))
         emit(f"vb_sweeps_per_sec_chip_n2048_m8192_r{r}_sparse_ell10pct",
              sps, "sweeps/s")
+        # tile-sparse Pallas kernel (the sparse_layout='auto' default
+        # since round 4): slot blocks expanded to dense VMEM tiles,
+        # dense-MXU math per tile, no gathers or scatters
+        sps = bench_vb(2048, 8192, r, backend="sparse_tile",
+                       density=0.10, k=(32, 160))
+        emit(f"vb_sweeps_per_sec_chip_n2048_m8192_r{r}_sparse_tile10pct",
+             sps, "sweeps/s")
         # dense fused on the same 10%-density matrix (the comparison
         # BASELINE.md's sparse-strategy note discusses)
         sps = bench_vb(2048, 8192, r, backend="pallas_fused",
@@ -429,16 +497,19 @@ def main():
         emit("vb_sweeps_per_sec_chip_n20480_m100352_r20_xint8_atlas",
              sps, "sweeps/s")
         # HBM-oversize capacity demo: dense-int8 footprint (18.3 GB)
-        # exceeds one chip's HBM; the dual-ELL nonzeros fit
+        # exceeds one chip's HBM; the sparse layouts fit.  The tile
+        # Pallas kernel is the production path; the XLA dual-ELL is
+        # kept as the comparison point.
         try:
-            sps_o, info = bench_ell_oversize()
-            emit("vb_sweeps_per_sec_chip_n16384_m1114112_r16"
-                 "_ell_oversize", sps_o, "sweeps/s")
-            emit("ell_oversize_device_gb", info["dev_gb"], "GB")
-            emit("ell_oversize_dense_int8_gb", info["dense_int8_gb"],
+            res_o, info = bench_sparse_oversize()
+            for layout, (sps_o, gb) in res_o.items():
+                emit("vb_sweeps_per_sec_chip_n16384_m1114112_r16"
+                     f"_{layout}_oversize", sps_o, "sweeps/s")
+                emit(f"{layout}_oversize_device_gb", gb, "GB")
+            emit("oversize_dense_int8_gb", info["dense_int8_gb"],
                  "GB")
         except Exception as e:          # noqa: BLE001
-            print(json.dumps({"metric": "ell_oversize",
+            print(json.dumps({"metric": "sparse_oversize",
                               "error": str(e)[:200]}), flush=True)
         # opt-in elbo_every cadence: steady-state (non-check) sweep
         # rate with the ELBO data term's O(n*m) VPU pass skipped
@@ -455,6 +526,16 @@ def main():
                        mxu_bf16=True)
         emit(f"vb_sweeps_per_sec_chip_n{n}_m{m}_r{r}_xint8_bf16",
              sps, "sweeps/s")
+        # converged-lane compaction on a heterogeneous 2..16 x 5 scan
+        try:
+            t_plain, t_comp, same = bench_compaction()
+            emit("rank_scan_2to16x5_wall_plain", t_plain, "s")
+            emit("rank_scan_2to16x5_wall_compacted", t_comp, "s")
+            emit("rank_scan_compaction_speedup", t_plain / t_comp,
+                 "x" if same else "x (MISMATCH)")
+        except Exception as e:          # noqa: BLE001
+            print(json.dumps({"metric": "rank_scan_compaction",
+                              "error": str(e)[:200]}), flush=True)
         # ML (Lee-Seung) fused path
         sps = bench_ml(n, m, r)
         emit(f"ml_sweeps_per_sec_chip_n{n}_m{m}_r{r}", sps,

@@ -38,6 +38,157 @@ def _default_dtype():
     return jnp.float64 if jax.config.jax_enable_x64 else jnp.float32
 
 
+def _assign_rows(dst, src, idx):
+    res = np.array(dst)
+    res[idx] = src[idx]
+    return res
+
+
+def _scatter_rows(dst, src, lanes, nreal):
+    res = np.array(dst)
+    res[lanes[:nreal]] = src[:nreal]
+    return res
+
+
+def _chunked_ml(call, w0, h0, nb, m_arr, itmax, every, ckpt_file,
+                np_dtype, verbose, compact=True):
+    """Run a vmapped ml_run in sweep chunks with host checkpoints and
+    converged-lane compaction — the ML twin of
+    vb_driver._chunked_vb (reference treats the two drivers
+    symmetrically, R/factorize.R:139-276 vs R/bayesian.R:229-390, so
+    both get the same two-level resume here).
+
+    ``call(w, h, cid, zstep, lk0, end, it0, lanes) -> MLRunResult``
+    (vmapped over the rows of w/h; ``lanes`` are the GLOBAL instance
+    indices so the caller can subset per-instance rank masks).  After
+    each chunk the full loop carry (factors, per-instance likelihood,
+    connectivity streak, absolute sweep index) persists to
+    ``ckpt_file`` when given; resumption is bit-exact (ml_run's
+    it0/lk0_init/cid0/zstep0 continuation).  Converged lanes freeze
+    host-side and, with ``compact=True``, drop out of the next
+    chunk's (power-of-two-padded) batch.
+    """
+    import os
+
+    from ..ops.ml import MLRunResult
+
+    it0 = 1
+    n_rec = np.full(nb, -1, np.int64)
+    g = None
+    if ckpt_file is not None and os.path.exists(ckpt_file):
+        z = np.load(ckpt_file)
+        it0 = int(z["it0"])
+        n_rec = z["n_rec"]
+        g = MLRunResult(w=z["w"], h=z["h"], lkh=z["lk0"],
+                        n_iter=np.where(n_rec >= 0, n_rec, 0),
+                        cid=z["cid"], zstep=z["zstep"],
+                        done=n_rec >= 0)
+        if verbose >= 1:
+            print(f"Resumed ML sweep checkpoint at iteration {it0}")
+
+    while True:
+        end = min(it0 - 1 + every, itmax)
+        live = np.nonzero(n_rec < 0)[0]
+        if g is not None and len(live) == 0:
+            break
+        if g is None:
+            lanes = np.arange(nb)
+            nreal = nb
+            w_l, h_l = w0, h0
+            cid_l = np.zeros((nb, m_arr), np.int32)
+            zst_l = np.zeros((nb,), np.int32)
+            lk_l = np.full(nb, -np.inf, np_dtype)
+        else:
+            nreal = len(live)
+            if compact:
+                size = 1 << max(0, int(nreal - 1).bit_length())
+                size = min(max(size, 1), nb)
+            else:
+                size = nb
+            pad = size - nreal
+            lanes = np.concatenate(
+                [live, np.repeat(live[:1], pad)]) if pad else live
+            w_l = jnp.asarray(np.asarray(g.w)[lanes])
+            h_l = jnp.asarray(np.asarray(g.h)[lanes])
+            cid_l = np.asarray(g.cid)[lanes]
+            zst_l = np.asarray(g.zstep)[lanes]
+            lk_l = np.asarray(g.lkh)[lanes].astype(np_dtype)
+        out = call(w_l, h_l, jnp.asarray(cid_l), jnp.asarray(zst_l),
+                   jnp.asarray(lk_l), jnp.asarray(end),
+                   jnp.asarray(it0), lanes)
+        out = jax.tree.map(np.asarray, out)
+        if g is None:
+            g = jax.tree.map(np.copy, out)
+        else:
+            g = jax.tree.map(
+                lambda ga, oa: _scatter_rows(ga, oa, lanes, nreal),
+                g, out)
+        loc = out.done[:nreal] | (out.n_iter[:nreal] < end)
+        sel = loc & (n_rec[lanes[:nreal]] < 0)
+        n_rec[lanes[:nreal][sel]] = out.n_iter[:nreal][sel]
+        if end >= itmax or (n_rec >= 0).all():
+            break
+        it0 = end + 1
+        if ckpt_file is not None:
+            np.savez(ckpt_file, it0=it0, lk0=np.asarray(g.lkh),
+                     cid=np.asarray(g.cid),
+                     zstep=np.asarray(g.zstep), n_rec=n_rec,
+                     w=np.asarray(g.w), h=np.asarray(g.h))
+        if verbose >= 2:
+            print(f"ML checkpointed at sweep {end}: "
+                  f"{int((n_rec >= 0).sum())}/{nb} converged")
+
+    if ckpt_file is not None and os.path.exists(ckpt_file):
+        os.remove(ckpt_file)
+    return g
+
+
+def _ml_exchange(local, owned, ismpl, ranks, nrank, n, m, nproc, pid,
+                 schedule):
+    """Multi-host merge of one sample's per-rank results: all-gather
+    the scalar measures, replicate each rank's winning factors from
+    its owner (identical logic on every host)."""
+    idx_loc = np.asarray(owned, np.int64)
+    stats = {}
+    for name in ("rmax", "disp", "coph"):
+        vals = np.asarray([local[k][name] for k in owned], np.float64)
+        stats[name] = schedule.gather_results(
+            vals, idx_loc, nrank, process_count=nproc)
+    for k in range(nrank):
+        rank = ranks[k]
+        owner = (ismpl * nrank + k) % nproc
+        if k in local:
+            cand = dict(w=local[k]["wmax"], h=local[k]["hmax"])
+        else:
+            cand = dict(w=np.zeros((n, rank)), h=np.zeros((rank, m)))
+        cand = schedule.exchange_winner(
+            cand, owner == pid, owner, process_count=nproc)
+        local[k] = dict(rmax=stats["rmax"][k], disp=stats["disp"][k],
+                        coph=stats["coph"][k],
+                        wmax=np.asarray(cand["w"]),
+                        hmax=np.asarray(cand["h"]))
+
+
+def _shuffle_sparse_columns(csr, rng):
+    """Sparse analog of the reference's per-column shuffle
+    (R/factorize.R:172-173): each column's nonzeros move to a uniform
+    random subset of rows (shuffling a column with its zeros included
+    is exactly that), preserving sparsity end to end."""
+    import scipy.sparse as sp
+
+    csc = sp.csc_matrix(csr)
+    n, m = csc.shape
+    rows = np.empty_like(csc.indices)
+    for j in range(m):
+        j0, j1 = csc.indptr[j], csc.indptr[j + 1]
+        k = j1 - j0
+        if k:
+            rows[j0:j1] = rng.permutation(n)[:k]
+    out = sp.csc_matrix((csc.data, rows, csc.indptr), shape=(n, m))
+    out.sum_duplicates()
+    return sp.csr_matrix(out)
+
+
 def factorize(object, ranks=2, nrun=20, randomize=False, nsmpl=1,
               verbose=2, Itmax=10000, ncnn_step=40,
               criterion="likelihood", linkage="average", Tol=1e-5,
@@ -46,6 +197,8 @@ def factorize(object, ranks=2, nrun=20, randomize=False, nsmpl=1,
               prior=False, gamma_a=1.0, gamma_b=1.0,
               cophenetic_max_cells=10000, cophenetic_nsub=3,
               storage_dtype=None, sparse_layout="auto",
+              checkpoint_dir=None, checkpoint_every=None,
+              compact_every=None,
               distributed="auto", _process_count=None,
               _process_id=None):
     """ML (Lee–Seung KL) NMF over a rank sweep.
@@ -60,9 +213,24 @@ def factorize(object, ranks=2, nrun=20, randomize=False, nsmpl=1,
     * ``'dense'``       — eager XLA loop (parity oracle)
     * ``'dense_fused'`` — XLA, deferred-likelihood 2-passes-over-X loop
     * ``'pallas'``      — fused single-pass H/W Pallas kernels
-    * ``'sparse'``      — O(nnz*r) nonzero-only phases, no
-      densification (``sparse_layout``: 'ell' — the 'auto' default,
-      dual gather-only hybrid ELL, ops.ell.ell_ml_h/ell_ml_w)
+    * ``'sparse'``      — nonzero-only phases, no densification
+      (``sparse_layout``: 'tile' — the 'auto' default, Pallas
+      tile-sparse kernel, single-device AND cell-sharded mesh, with
+      ``randomize`` support via a sparse column shuffle; 'ell' — dual
+      gather-only hybrid ELL, single-device only)
+
+    ``checkpoint_every=K`` (with ``checkpoint_dir``) checkpoints
+    MID-RUN every K sweeps, exactly as vb_factorize: the device loop
+    executes in K-sweep chunks whose full carry (factors, likelihoods,
+    connectivity streaks, absolute sweep index) persists, and an
+    interrupted run resumes bit-identically (ml_run's continuation
+    args).  ``checkpoint_dir`` alone additionally persists each
+    completed sample's statistics and winning factors, so a crashed
+    multi-sample randomized scan skips finished samples on rerun.
+    ``compact_every=K`` chunks the device loop WITHOUT checkpoint
+    files and re-packs only still-running instances into a smaller
+    batch at each boundary (converged-lane compaction, exactly as
+    vb_factorize); ``checkpoint_every`` implies the same compaction.
 
     ``storage_dtype`` stores X on device as int8/int16 (dense layouts
     only): 4x/2x less X HBM traffic with exact math, mirroring
@@ -111,12 +279,15 @@ def factorize(object, ranks=2, nrun=20, randomize=False, nsmpl=1,
             raise ValueError("Input matrix contains empty rows")
         if (np.asarray(mat0.sum(axis=0)).ravel() == 0).any():
             raise ValueError("Input matrix contains empty columns")
-        if randomize:
-            raise ValueError("randomize shuffles dense columns; use a "
-                             "dense backend")
-        if mesh is not None:
-            raise ValueError("the sparse ML backend is single-device; "
-                             "use backend='pallas' with a mesh")
+        if sparse_layout not in ("auto", "tile", "ell"):
+            raise ValueError(f"unknown sparse_layout {sparse_layout!r}")
+        if sparse_layout == "ell":
+            if randomize:
+                raise ValueError("randomize with backend='sparse' "
+                                 "needs sparse_layout='tile'")
+            if mesh is not None:
+                raise ValueError("the ELL ML layout is single-device; "
+                                 "use sparse_layout='tile' with a mesh")
     else:
         mat0 = obj.counts_dense(dtype=np.dtype(dtype))
         n, m = mat0.shape
@@ -192,10 +363,17 @@ def factorize(object, ranks=2, nrun=20, randomize=False, nsmpl=1,
             return x, w0, h0
         from jax.sharding import NamedSharding, PartitionSpec as P
 
+        from ..ops.tile import TileCounts
+
         axes = mesh.axis_names
         runs = "runs" if "runs" in axes else None
         cells = "cells" if "cells" in axes else None
-        x = jax.device_put(x, NamedSharding(mesh, P(None, cells)))
+        if isinstance(x, TileCounts):
+            x = jax.tree.map(
+                lambda a: jax.device_put(
+                    a, NamedSharding(mesh, P(cells))), x)
+        else:
+            x = jax.device_put(x, NamedSharding(mesh, P(None, cells)))
         w0 = jax.device_put(w0, NamedSharding(mesh, P(runs, None, None)))
         h0 = jax.device_put(h0, NamedSharding(mesh, P(runs, None, cells)))
         return x, w0, h0
@@ -204,12 +382,22 @@ def factorize(object, ranks=2, nrun=20, randomize=False, nsmpl=1,
         run_kwargs = dict(pn=jnp.asarray(pn, dtype),
                           pd=jnp.asarray(pd_, dtype))
         if backend == "sparse":
-            from ..ops import ell as ek
-            if sparse_layout not in ("auto", "ell"):
-                raise ValueError(
-                    f"unknown sparse_layout {sparse_layout!r}")
-            x = ek.from_scipy_ell(mat, dtype=dtype)
-            fh, fw = ek.make_ell_ml_backend()
+            if sparse_layout == "ell":
+                from ..ops import ell as ek
+                x = ek.from_scipy_ell(mat, dtype=dtype)
+                fh, fw = ek.make_ell_ml_backend()
+            elif mesh is not None and "cells" in mesh.axis_names:
+                from ..ops import tile as tk
+                from ..parallel.sharded import make_tile_ml_sharded
+                x = tk.from_scipy_tile_sharded(mat,
+                                               mesh.shape["cells"],
+                                               m_pad=m_pad,
+                                               dtype=dtype)
+                fh, fw = make_tile_ml_sharded(mesh)
+            else:
+                from ..ops import tile as tk
+                x = tk.from_scipy_tile(mat, dtype=dtype)
+                fh, fw = tk.make_tile_ml_backend()
             run_kwargs.update(fused_h=fh, fused_w=fw, nm_true=(n, m))
             return x, run_kwargs
         x = jnp.asarray(mat, dev_dtype)
@@ -268,17 +456,70 @@ def factorize(object, ranks=2, nrun=20, randomize=False, nsmpl=1,
 
     from ..parallel import schedule
 
+    import os
+    np_dtype = np.dtype(jnp.zeros((), dtype).dtype)
+    # sample-level progress store: completed (sample, rank) results
+    # persist so a crashed multi-sample scan skips finished samples
+    # (the ML analog of vb_driver's per-rank checkpoints).  Disabled
+    # under store_connectivity (the consensus accumulator of the last
+    # sample cannot be reconstructed from the stored statistics).
+    progress_file = None
+    progress = {}
+    if checkpoint_dir is not None and not store_connectivity:
+        os.makedirs(checkpoint_dir, exist_ok=True)
+        progress_file = os.path.join(checkpoint_dir,
+                                     f"ml_progress_p{pid}.npz")
+        if os.path.exists(progress_file):
+            z = np.load(progress_file)
+            progress = {key: z[key] for key in z.files}
+
+    def _prog_key(ismpl, k):
+        return f"s{ismpl}_k{k}"
+
     for ismpl in range(nsmpl):
         owned = [k for k in range(nrank)
                  if (ismpl * nrank + k) % nproc == pid]
+        restored = (progress_file is not None and owned and
+                    all(f"r_{_prog_key(ismpl, k)}" in progress
+                        for k in owned))
+        if restored:
+            local = {}
+            for k in owned:
+                key = _prog_key(ismpl, k)
+                stats = progress[f"r_{key}"]
+                local[k] = dict(rmax=float(stats[0]),
+                                disp=float(stats[1]),
+                                coph=float(stats[2]),
+                                wmax=progress[f"w_{key}"],
+                                hmax=progress[f"h_{key}"])
+            if verbose >= 1:
+                print(f"Sample# {ismpl + 1}: restored from checkpoint")
+            if nproc > 1:
+                _ml_exchange(local, owned, ismpl, ranks, nrank, n, m,
+                             nproc, pid, schedule)
+            for k in range(nrank):
+                res = local[k]
+                if ismpl == 0:
+                    wdat[k] = res["wmax"].copy()
+                    hdat[k] = res["hmax"].copy()
+                else:
+                    wdat[k] += res["wmax"]
+                    hdat[k] += res["hmax"]
+                rdat[k].append(float(res["rmax"]))
+                ddat[k].append(float(res["disp"]))
+                cdat[k].append(float(res["coph"]))
+            continue
         if randomize:
             # per-sample deterministic stream, so any process can
             # rebuild sample ismpl's shuffled matrix identically
             rng_i = np.random.default_rng(
                 np.random.SeedSequence([seed, 104729 + ismpl]))
-            mat = np.empty_like(mat0)
-            for j in range(m):
-                mat[:, j] = rng_i.permutation(mat0[:, j])
+            if backend == "sparse":
+                mat = _shuffle_sparse_columns(mat0, rng_i)
+            else:
+                mat = np.empty_like(mat0)
+                for j in range(m):
+                    mat[:, j] = rng_i.permutation(mat0[:, j])
         else:
             mat = mat0
 
@@ -299,18 +540,43 @@ def factorize(object, ranks=2, nrun=20, randomize=False, nsmpl=1,
             w0, h0 = jax.vmap(
                 lambda kk: ml_ops.ml_init(kk, n, m_pad, rmax_,
                                           dtype))(keys)
-            np_dtype = np.dtype(jnp.zeros((), dtype).dtype)
             rmask = jnp.asarray(
                 (np.arange(rmax_)[None, :] < rank_arr[:, None]
                  ).astype(np_dtype))
             x, w0, h0 = place(x, w0, h0)
             batched = jax.vmap(
-                lambda w, h, rm: ml_ops.ml_run(
-                    x, w, h, itmax=int(Itmax), tol=float(Tol),
+                lambda w, h, rm, c0, z0, l0, im, i0: ml_ops.ml_run(
+                    x, w, h, itmax=im, tol=float(Tol),
                     criterion=criterion, ncnn_step=int(ncnn_step),
-                    rank_mask=rm, **run_kwargs),
-                in_axes=(0, 0, 0))
-            out = jax.tree.map(np.asarray, batched(w0, h0, rmask))
+                    rank_mask=rm, it0=i0, lk0_init=l0, cid0=c0,
+                    zstep0=z0, **run_kwargs),
+                in_axes=(0, 0, 0, 0, 0, 0, None, None))
+
+            def call(w, h, c0, z0, l0, im, i0, lanes=None):
+                rm = rmask
+                if lanes is not None:
+                    # compacted lanes are reordered even at full size
+                    rm = rmask[np.asarray(lanes)]
+                return batched(w, h, rm, c0, z0, l0, im, i0)
+
+            if checkpoint_every or compact_every:
+                ckf = None
+                if checkpoint_every and checkpoint_dir is not None:
+                    ckf = os.path.join(
+                        checkpoint_dir,
+                        f"ml_sweeps_s{ismpl}_p{pid}.npz")
+                    os.makedirs(checkpoint_dir, exist_ok=True)
+                out = _chunked_ml(call, w0, h0, nb, m_pad,
+                                  int(Itmax),
+                                  int(checkpoint_every
+                                      or compact_every),
+                                  ckf, np_dtype, verbose)
+            else:
+                out = jax.tree.map(np.asarray, call(
+                    w0, h0, jnp.zeros((nb, m_pad), jnp.int32),
+                    jnp.zeros((nb,), jnp.int32),
+                    jnp.full((nb,), -jnp.inf, dtype),
+                    jnp.asarray(int(Itmax)), jnp.asarray(1)))
             groups = [(k, ranks[k],
                        [kk * nrun + i for i in range(nrun)])
                       for kk, k in enumerate(owned)]
@@ -330,11 +596,31 @@ def factorize(object, ranks=2, nrun=20, randomize=False, nsmpl=1,
                                               dtype))(keys)
                 x, w0, h0 = place(x, w0, h0)
                 batched = jax.vmap(
-                    lambda w, h: ml_ops.ml_run(
-                        x, w, h, itmax=int(Itmax), tol=float(Tol),
-                        criterion=criterion,
-                        ncnn_step=int(ncnn_step), **run_kwargs))
-                outs[k] = jax.tree.map(np.asarray, batched(w0, h0))
+                    lambda w, h, c0, z0, l0, im, i0: ml_ops.ml_run(
+                        x, w, h, itmax=im, tol=float(Tol),
+                        criterion=criterion, it0=i0, lk0_init=l0,
+                        cid0=c0, zstep0=z0,
+                        ncnn_step=int(ncnn_step), **run_kwargs),
+                    in_axes=(0, 0, 0, 0, 0, None, None))
+                if checkpoint_every or compact_every:
+                    ckf = None
+                    if checkpoint_every and checkpoint_dir is not None:
+                        ckf = os.path.join(
+                            checkpoint_dir,
+                            f"ml_sweeps_s{ismpl}_r{rank}_p{pid}.npz")
+                        os.makedirs(checkpoint_dir, exist_ok=True)
+                    outs[k] = _chunked_ml(
+                        lambda *a: batched(*a[:-1]), w0, h0, nrun,
+                        m_pad, int(Itmax),
+                        int(checkpoint_every or compact_every), ckf,
+                        np_dtype, verbose)
+                else:
+                    outs[k] = jax.tree.map(np.asarray, batched(
+                        w0, h0,
+                        jnp.zeros((nrun, m_pad), jnp.int32),
+                        jnp.zeros((nrun,), jnp.int32),
+                        jnp.full((nrun,), -jnp.inf, dtype),
+                        jnp.asarray(int(Itmax)), jnp.asarray(1)))
                 groups.append((k, rank, list(range(nrun))))
         else:
             groups = []
@@ -359,30 +645,19 @@ def factorize(object, ranks=2, nrun=20, randomize=False, nsmpl=1,
                       f"Max(likelihood) = {rmax:.6g}, dispersion = "
                       f"{disp:.6g}, cophenetic = {coph:.6g}")
 
+        if progress_file is not None:
+            for k in owned:
+                key = _prog_key(ismpl, k)
+                progress[f"r_{key}"] = np.asarray(
+                    [local[k]["rmax"], local[k]["disp"],
+                     local[k]["coph"]], np.float64)
+                progress[f"w_{key}"] = local[k]["wmax"]
+                progress[f"h_{key}"] = local[k]["hmax"]
+            np.savez(progress_file, **progress)
+
         if nproc > 1:
-            idx_loc = np.asarray(owned, np.int64)
-            stats = {}
-            for name in ("rmax", "disp", "coph"):
-                vals = np.asarray([local[k][name] for k in owned],
-                                  np.float64)
-                stats[name] = schedule.gather_results(
-                    vals, idx_loc, nrank, process_count=nproc)
-            for k in range(nrank):
-                rank = ranks[k]
-                owner = (ismpl * nrank + k) % nproc
-                if k in local:
-                    cand = dict(w=local[k]["wmax"],
-                                h=local[k]["hmax"])
-                else:
-                    cand = dict(w=np.zeros((n, rank)),
-                                h=np.zeros((rank, m)))
-                cand = schedule.exchange_winner(
-                    cand, owner == pid, owner, process_count=nproc)
-                local[k] = dict(rmax=stats["rmax"][k],
-                                disp=stats["disp"][k],
-                                coph=stats["coph"][k],
-                                wmax=np.asarray(cand["w"]),
-                                hmax=np.asarray(cand["h"]))
+            _ml_exchange(local, owned, ismpl, ranks, nrank, n, m,
+                         nproc, pid, schedule)
 
         for k in range(nrank):
             res = local[k]
@@ -395,6 +670,9 @@ def factorize(object, ranks=2, nrun=20, randomize=False, nsmpl=1,
             rdat[k].append(float(res["rmax"]))
             ddat[k].append(float(res["disp"]))
             cdat[k].append(float(res["coph"]))
+
+    if progress_file is not None and os.path.exists(progress_file):
+        os.remove(progress_file)
 
     for k in range(nrank):
         wdat[k] /= nsmpl

@@ -108,6 +108,13 @@ class MLRunResult(NamedTuple):
     lkh: jax.Array
     n_iter: jax.Array
     cid: jax.Array
+    # connectivity-criterion streak counter at exit (0 under the
+    # likelihood criterion) — part of the resume carry for sweep-level
+    # checkpointing (drivers.ml_driver checkpoint_every)
+    zstep: jax.Array
+    # True iff the stopping rule fired (vs the sweep bound running
+    # out) — see ops.vb.VBRunResult.done
+    done: jax.Array
 
 
 def ml_h_dense(x, w, h):
@@ -123,12 +130,14 @@ def ml_w_dense(x, w, h):
     return _dot(x / _dot(w, h), h.T)
 
 
-@partial(jax.jit, static_argnames=("itmax", "criterion", "ncnn_step",
+@partial(jax.jit, static_argnames=("criterion", "ncnn_step",
                                    "fused_h", "fused_w", "nm_true"))
-def ml_run(x, w0, h0, *, itmax: int = 10000, tol: float = 1e-5,
+def ml_run(x, w0, h0, *, itmax=10000, tol: float = 1e-5,
            criterion: str = "likelihood", ncnn_step: int = 40,
            fused_h=None, fused_w=None, nm_true=None,
-           pn=0.0, pd=0.0, rank_mask=None) -> MLRunResult:
+           pn=0.0, pd=0.0, rank_mask=None,
+           it0=1, lk0_init=None, cid0=None, zstep0=None
+           ) -> MLRunResult:
     """Iterate ml_sweep to convergence for one restart
     (reference driver loop R/factorize.R:187-213).
 
@@ -145,13 +154,22 @@ def ml_run(x, w0, h0, *, itmax: int = 10000, tol: float = 1e-5,
     the identical stopping sequence, lkh, n_iter, and final factors.
     ``x`` may then be pre-padded to tile boundaries; pass the true
     (n, m) via ``nm_true``.
+
+    ``it0``/``lk0_init``/``cid0``/``zstep0`` resume a previously
+    bounded run (the VB twin of vb_run's continuation): pass the prior
+    call's ``n_iter + 1``, ``lkh``, ``cid``, and ``zstep`` together
+    with its final (w, h), and the loop continues the exact stopping
+    sequence of one uninterrupted run — backbone of sweep-level
+    checkpointing (drivers.ml_driver checkpoint_every).
     """
     if fused_h is not None:
         return _ml_run_fused(x, w0, h0, itmax=itmax, tol=tol,
                              criterion=criterion, ncnn_step=ncnn_step,
                              fused_h=fused_h, fused_w=fused_w,
                              nm_true=nm_true, pn=pn, pd=pd,
-                             rank_mask=rank_mask)
+                             rank_mask=rank_mask, it0=it0,
+                             lk0_init=lk0_init, cid0=cid0,
+                             zstep0=zstep0)
     # loop scalars use the FACTOR dtype: x may be a compressed integer
     # storage layout or a sparse-nonzeros pytree
     ref_t = w0.dtype
@@ -159,6 +177,10 @@ def ml_run(x, w0, h0, *, itmax: int = 10000, tol: float = 1e-5,
     tol = jnp.asarray(tol, ref_t)
     lgconst = likelihood_const(_xvals(x), ref_t)
     r = h0.shape[0]
+    neginf = jnp.asarray(-jnp.inf, ref_t)
+    lk_start = (neginf if lk0_init is None
+                else jnp.asarray(lk0_init, ref_t))
+    it_start = jnp.asarray(it0)
 
     if criterion == "likelihood":
         def cond(c):
@@ -173,11 +195,17 @@ def ml_run(x, w0, h0, *, itmax: int = 10000, tol: float = 1e-5,
             done = jnp.abs(lkold - lk) < tol * jnp.abs(lkold)
             return it + 1, w, h, lk, lk, done
 
-        neginf = jnp.asarray(-jnp.inf, ref_t)
         it, w, h, lkold, lk0, done = lax.while_loop(
-            cond, body, (jnp.asarray(1), w0, h0, neginf, neginf,
+            cond, body, (it_start, w0, h0, lk_start, lk_start,
                          jnp.asarray(False)))
+        zstep = jnp.zeros((), jnp.int32)
     elif criterion == "connectivity":
+        m_arr = h0.shape[1]
+        cid_start = (jnp.zeros((m_arr,), jnp.int32) if cid0 is None
+                     else jnp.asarray(cid0, jnp.int32))
+        z_start = (jnp.asarray(0, jnp.int32) if zstep0 is None
+                   else jnp.asarray(zstep0, jnp.int32))
+
         def cond(c):
             it, w, h, lk0, cid0, zstep, done = c
             return (~done) & (it <= itmax)
@@ -192,21 +220,20 @@ def ml_run(x, w0, h0, *, itmax: int = 10000, tol: float = 1e-5,
             done = zstep == ncnn_step
             return it + 1, w, h, lk, cid, zstep, done
 
-        it, w, h, lk0, _, _, done = lax.while_loop(
-            cond, body, (jnp.asarray(1), w0, h0,
-                         jnp.asarray(-jnp.inf, ref_t),
-                         jnp.zeros((x.shape[1],), jnp.int32),
-                         jnp.asarray(0, jnp.int32), jnp.asarray(False)))
+        it, w, h, lk0, _, zstep, done = lax.while_loop(
+            cond, body, (it_start, w0, h0, lk_start, cid_start,
+                         z_start, jnp.asarray(False)))
     else:
         raise ValueError("Unknown stopping criterion.")
 
     return MLRunResult(w=w, h=h, lkh=lk0, n_iter=it - 1,
-                       cid=hard_assign(h))
+                       cid=hard_assign(h), zstep=zstep, done=done)
 
 
 def _ml_run_fused(x, w0, h0, *, itmax, tol, criterion, ncnn_step,
                   fused_h, fused_w, nm_true=None, pn=0.0, pd=0.0,
-                  rank_mask=None) -> MLRunResult:
+                  rank_mask=None, it0=1, lk0_init=None, cid0=None,
+                  zstep0=None) -> MLRunResult:
     """Deferred-likelihood ML loop over single-pass fused kernels.
 
     criterion='likelihood': fused iteration i completes the likelihood
@@ -215,6 +242,12 @@ def _ml_run_fused(x, w0, h0, *, itmax, tol, criterion, ncnn_step,
     then performs sweep i.  criterion='connectivity': the partition
     check needs only the updated H (no extra X pass); the final
     likelihood is evaluated once post-loop.
+
+    Resume (it0/lk0_init/cid0/zstep0) mirrors ops.vb._vb_run_fused:
+    the check of sweep it0-1 was already performed by the previous
+    bounded call, so the first resumed iteration recomputes its
+    likelihood only to feed the NEXT check (``valid`` guard), and the
+    continued run is bit-identical to an uninterrupted one.
     """
     ref_t = w0.dtype
     eps = jnp.asarray(jnp.finfo(ref_t).eps, ref_t)
@@ -223,6 +256,9 @@ def _ml_run_fused(x, w0, h0, *, itmax, tol, criterion, ncnn_step,
     r = h0.shape[0]
     n, m = nm_true if nm_true is not None else (w0.shape[0], h0.shape[1])
     neginf = jnp.asarray(-jnp.inf, ref_t)
+    it_start = jnp.asarray(it0)
+    lk_start = (neginf if lk0_init is None
+                else jnp.asarray(lk0_init, ref_t))
 
     def lk_of(xlw, w, h):
         # -sum(wh) reduces in rank space: dot(colsum(w), rowsum(h))
@@ -250,23 +286,33 @@ def _ml_run_fused(x, w0, h0, *, itmax, tol, criterion, ncnn_step,
             it, w, h, lk2, _ = c
             hn, xlw = fused_h(x, w, h)
             lk_prev = lk_of(xlw, w, h)        # likelihood of sweep it-1
-            conv = ((it >= 2)
+            # sweep it-1's check belongs to THIS call only when it-1
+            # was performed here; on resume the previous call already
+            # checked sweep it0-1 (and lk0_init carries its value)
+            valid = (it - 1) >= it_start
+            conv = (valid & (it >= 2)
                     & (jnp.abs(lk2 - lk_prev) < tol * jnp.abs(lk2)))
             take = (~conv) & (it <= itmax)
             w1, h1 = do_sweep(w, h, hn)
             w = jnp.where(take, w1, w)
             h = jnp.where(take, h1, h)
-            lk2 = jnp.where(it >= 2, lk_prev, neginf)
-            done = conv | (it > itmax)
+            lk2 = jnp.where(valid & (it >= 2), lk_prev, lk2)
+            done = conv
             return it + 1, w, h, lk2, done
 
         it, w, h, lk2, done = lax.while_loop(
-            cond, body, (jnp.asarray(1), w0, h0, neginf,
+            cond, body, (it_start, w0, h0, lk_start,
                          jnp.asarray(False)))
         return MLRunResult(w=w, h=h, lkh=lk2, n_iter=it - 2,
-                           cid=hard_assign(h))
+                           cid=hard_assign(h), done=done,
+                           zstep=jnp.zeros((), jnp.int32))
 
     elif criterion == "connectivity":
+        cid_start = (jnp.zeros((h0.shape[1],), jnp.int32)
+                     if cid0 is None else jnp.asarray(cid0, jnp.int32))
+        z_start = (jnp.asarray(0, jnp.int32) if zstep0 is None
+                   else jnp.asarray(zstep0, jnp.int32))
+
         def cond(c):
             it, w, h, cid0, zstep, done = c
             return (~done) & (it <= itmax)
@@ -282,13 +328,13 @@ def _ml_run_fused(x, w0, h0, *, itmax, tol, criterion, ncnn_step,
             done = zstep == ncnn_step
             return it + 1, w, h, cid, zstep, done
 
-        it, w, h, cid, _, done = lax.while_loop(
-            cond, body, (jnp.asarray(1), w0, h0,
-                         jnp.zeros((h0.shape[1],), jnp.int32),
-                         jnp.asarray(0, jnp.int32), jnp.asarray(False)))
+        it, w, h, cid, zstep, done = lax.while_loop(
+            cond, body, (it_start, w0, h0, cid_start, z_start,
+                         jnp.asarray(False)))
         _, xlw = fused_h(x, w, h)
         return MLRunResult(w=w, h=h, lkh=lk_of(xlw, w, h),
-                           n_iter=it - 1, cid=cid)
+                           n_iter=it - 1, cid=cid, done=done,
+                           zstep=zstep)
     else:
         raise ValueError("Unknown stopping criterion.")
 

@@ -456,7 +456,10 @@ def vb_run_epi(x_pad, state0: VBState, hyper0: Hyper, *,
         dh_p = sel(out["dh"], dh_p)
         ehs = sel(out["rsum"], ehs)
         pending = jnp.where(do_sweep, new_pending, pending)
-        done = stop | (it > itmax)
+        # carry the STOP flag only; the cond's it bound still exits,
+        # and the result's `done` reports true convergence (see
+        # ops.vb.VBRunResult)
+        done = stop
         return (it + 1, lw_p, lh_p, ew_p, eh_p, dw_p, dh_p, ehs,
                 hyper, lk0, pending, lkh, done, hfail)
 
@@ -472,4 +475,4 @@ def vb_run_epi(x_pad, state0: VBState, hyper0: Hyper, *,
                     lw=lw_p[:n, :r], lh=lh_p[:r, :m_arr],
                     dw=dw_p[:n, :r], dh=dh_p[:r, :m_arr], lkh=lkh)
     return VBRunResult(state=state, hyper=hyper, lml=lk0,
-                       n_iter=it - 2, hyper_failed=hfail)
+                       n_iter=it - 2, hyper_failed=hfail, done=done)

@@ -427,15 +427,36 @@ def sol_sweep(x_pad, lwt_p, lh_p, eh_p, sc, *, n, m_arr, m_live, r,
         # budget at large m (atlas shapes) or rp>16; size the budget
         # from the actual buffers (v5e has 128 MB physical VMEM)
         compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=min(
-                100 * 2 ** 20,
-                max(16 * 2 ** 20,
-                    4 * (rp_ * (np_ + mp_))       # suffstat scratch
-                    + 2 * (bn * bm * x_pad.dtype.itemsize
-                           + 4 * rp_ * (3 * bn + 2 * bm + 4 * bmh))
-                    + 8 * 2 ** 20))),
+            vmem_limit_bytes=_sol_vmem_budget(
+                np_, mp_, rp_, bn, bm, bmh, x_pad.dtype, dt, acc_t)),
         interpret=_interpret(),
     )(x_pad, lwt_p, lh_p, eh_p, lh_p, sc)
+
+
+def _sol_vmem_budget(np_, mp_, rp_, bn, bm, bmh, x_dtype, dt, acc_t):
+    """Scoped-VMEM budget for the single-launch kernel, sized from the
+    actual buffers: the (rp, np)+(rp, mp) suffstat scratch in acc_t,
+    plus double-buffered blocks — X (bn, bm); W side 4 x (rp, bn)
+    (lwt input + 3 outputs); H side 2 x (rp, bm) inputs (lh, eh) and
+    4 x (rp, bmh) (lhh input + 3 outputs) — in the factor dtype.
+    Raises when the requirement exceeds the 100 MB cap (v5e has 128 MB
+    physical VMEM) so the single-launch design limit surfaces as a
+    clear shape-specific error instead of an opaque Mosaic OOM.
+    """
+    acc_sz = jnp.dtype(acc_t).itemsize
+    dt_sz = jnp.dtype(dt).itemsize
+    need = (acc_sz * rp_ * (np_ + mp_)             # suffstat scratch
+            + 2 * (bn * bm * jnp.dtype(x_dtype).itemsize
+                   + dt_sz * rp_ * (4 * bn + 2 * bm + 4 * bmh))
+            + 8 * 2 ** 20)                         # headroom
+    cap = 100 * 2 ** 20
+    if need > cap:
+        raise ValueError(
+            f"single-launch VB sweep needs ~{need / 2 ** 20:.0f} MB of "
+            f"VMEM at shape (n_pad={np_}, m_pad={mp_}, r_pad={rp_}) — "
+            f"over the {cap // 2 ** 20} MB budget. Use smaller rank "
+            "padding, a cell-sharded mesh, or backend='sparse'.")
+    return max(16 * 2 ** 20, need)
 
 
 def _pad_factors_t(lw, lh, np_, mp_, rp_):
@@ -572,7 +593,10 @@ def vb_run_sol(x_pad, state0: VBState, hyper0: Hyper, *,
         dwt_p = sel(dwt_n, dwt_p)
         dh_p = sel(dh_n, dh_p)
         pending = jnp.where(do_sweep, scal[0, _PEND], pending)
-        done = stop | (it > itmax)
+        # carry the STOP flag only; the cond's it bound still exits,
+        # and the result's `done` reports true convergence (see
+        # ops.vb.VBRunResult)
+        done = stop
         return (it + 1, lwt_p, lh_p, ewt_p, eh_p, dwt_p, dh_p,
                 hyper, lk0, pending, lkh, done, hfail)
 
@@ -588,4 +612,4 @@ def vb_run_sol(x_pad, state0: VBState, hyper0: Hyper, *,
                     lw=lwt_p[:r, :n].T, lh=lh_p[:r, :m_arr],
                     dw=dwt_p[:r, :n].T, dh=dh_p[:r, :m_arr], lkh=lkh)
     return VBRunResult(state=state, hyper=hyper, lml=lk0,
-                       n_iter=it - 2, hyper_failed=hfail)
+                       n_iter=it - 2, hyper_failed=hfail, done=done)

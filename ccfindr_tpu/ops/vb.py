@@ -574,7 +574,10 @@ def vb_init_svd(x, rank, hyper: Hyper, variant: str = "svd2",
         # R/bayesian.R:152-156)
         import scipy.sparse.linalg as spla
 
-        u, s, vt = spla.svds(x, k=rank)
+        # seeded start vector: svds defaults to a RANDOM v0, which
+        # would make the 'deterministic' initializer vary run to run
+        v0 = np.random.default_rng(seed).standard_normal(min(n, m))
+        u, s, vt = spla.svds(x, k=rank, v0=v0)
         order = np.argsort(-s)
         u, s, vt = u[:, order], s[order], vt[order]
     else:
@@ -635,6 +638,11 @@ class VBRunResult(NamedTuple):
     lml: jax.Array          # recorded log evidence (see note below)
     n_iter: jax.Array
     hyper_failed: jax.Array
+    # True iff the stopping rule fired (convergence or NaN), False iff
+    # the run exhausted its sweep bound — disambiguates a lane that
+    # converged exactly at a checkpoint-chunk boundary (n_iter == end)
+    # from one that merely ran out of chunk (drivers._chunked_vb)
+    done: jax.Array
 
 
 @partial(jax.jit, static_argnames=("hyper_mask", "n0", "dn",
@@ -761,7 +769,7 @@ def vb_run(x, state0: VBState, hyper0: Hyper, *, itmax: int = 10000,
              jnp.asarray(False))
     it, state, hyper, lk0, done, hfail = lax.while_loop(cond, body, carry)
     return VBRunResult(state=state, hyper=hyper, lml=lk0,
-                       n_iter=it - 1, hyper_failed=hfail)
+                       n_iter=it - 1, hyper_failed=hfail, done=done)
 
 
 def _vb_run_fused(x, state0: VBState, hyper0: Hyper, *, itmax, tol,
@@ -847,7 +855,10 @@ def _vb_run_fused(x, state0: VBState, hyper0: Hyper, *, itmax, tol,
             lambda new, old: jnp.where(do_sweep, new, old),
             new_state, state)
         pending = jnp.where(do_sweep, new_pending, pending)
-        done = stop | (it > itmax)
+        # carry the STOP flag (not stop-or-bound): the loop cond's
+        # it <= itmax + 1 bound still terminates, and the exit flag
+        # then reports whether the stopping rule actually fired
+        done = stop
         return it + 1, state, hyper, lk0, pending, done, hfail
 
     it_start = jnp.asarray(it0)
@@ -858,7 +869,7 @@ def _vb_run_fused(x, state0: VBState, hyper0: Hyper, *, itmax, tol,
     it, state, hyper, lk0, _, done, hfail = lax.while_loop(
         cond, body, carry)
     return VBRunResult(state=state, hyper=hyper, lml=lk0,
-                       n_iter=it - 2, hyper_failed=hfail)
+                       n_iter=it - 2, hyper_failed=hfail, done=done)
 
 
 def uniform_columns(ew, tol) -> jax.Array:

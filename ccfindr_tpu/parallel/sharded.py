@@ -140,6 +140,63 @@ def make_ell_fused_sharded(mesh: Mesh):
                  out_specs=(P(None, None), P(None, "cells"), P()))
 
 
+def make_tile_fused_sharded(mesh: Mesh):
+    """Fused tile-sparse backend for ops.vb.vb_run(fused=...) over a
+    cell-sharded mesh — the Pallas capacity path, NO dense X anywhere.
+
+    ``x`` is an ops.tile.TileCounts built by
+    ``from_scipy_tile_sharded(csr, mesh.shape['cells'])``: every leaf
+    carries a leading shard axis over 'cells', cell indices local to
+    the shard.  Collectives are identical to the other sparse sharded
+    paths: psum of the n x r swn partial and the scalar ELBO term;
+    shn is cell-local.
+    """
+    from ..ops import tile as tl
+
+    def local(x, lw, lh):
+        tc = jax.tree.map(lambda a: a[0], x)
+        swn, shn, dterm = tl.fused_tile(tc, lw, lh)
+        swn = jax.lax.psum(swn, "cells")
+        dterm = jax.lax.psum(dterm, "cells")
+        return swn, shn, dterm
+
+    return _smap(local, mesh,
+                 in_specs=(P("cells"), P(None, None),
+                           P(None, "cells")),
+                 out_specs=(P(None, None), P(None, "cells"), P()))
+
+
+def make_tile_ml_sharded(mesh: Mesh):
+    """(fused_h, fused_w) ML backends over a cell-sharded tile-sparse
+    layout — sparse `factorize` on a mesh (reference scale story
+    R/factorize.R:139-276, here without densification).
+
+    Same collective pattern as :func:`make_ml_sharded`: the H-phase
+    numerator stays cell-local and the likelihood scalar psums; the
+    W-phase numerator (n x r) psums over cell shards.
+    """
+    from ..ops import tile as tl
+
+    def local_h(x, w, h):
+        tc = jax.tree.map(lambda a: a[0], x)
+        hn, xlw = tl.tile_ml_h(tc, w, h)
+        return hn, jax.lax.psum(xlw, "cells")
+
+    def local_w(x, w, h):
+        tc = jax.tree.map(lambda a: a[0], x)
+        return jax.lax.psum(tl.tile_ml_w(tc, w, h), "cells")
+
+    fused_h = _smap(local_h, mesh,
+                    in_specs=(P("cells"), P(None, None),
+                              P(None, "cells")),
+                    out_specs=(P(None, "cells"), P()))
+    fused_w = _smap(local_w, mesh,
+                    in_specs=(P("cells"), P(None, None),
+                              P(None, "cells")),
+                    out_specs=P(None, None))
+    return fused_h, fused_w
+
+
 def make_ml_sharded(mesh: Mesh, bn: int = None, bm: int = None):
     """(fused_h, fused_w) ML backends over a cell-sharded mesh.
 

@@ -32,6 +32,22 @@ import numpy as np  # noqa: E402
 import pytest  # noqa: E402
 
 
+@pytest.fixture(autouse=True, scope="module")
+def _clear_jax_caches_per_module():
+    """Drop compiled executables between test modules.
+
+    The XLA:CPU JIT segfaults (deterministically, inside LLVM
+    compilation) once a single process accumulates ~190 tests' worth
+    of live compiled programs — the round-4 suite crossed that
+    threshold (round 3's 177 tests sat just under it; bisected: any
+    ~190-test subset crashes at the same spot, every ~100-test subset
+    passes, and the round-3 tree still passes).  Clearing per module
+    bounds the live-executable count at a small recompilation cost.
+    """
+    yield
+    jax.clear_caches()
+
+
 @pytest.fixture(scope="session")
 def rng():
     return np.random.default_rng(42)

@@ -69,8 +69,15 @@ def test_every_reference_export_has_an_equivalent():
 
 
 def test_every_export_is_in_api_index():
+    # container methods/dunders live on SCSet, not in __all__
+    methods = {"ranks", "basis", "dbasis", "coeff", "dcoeff",
+               "measure", "row_data", "col_data", "counts", "plot",
+               "__repr__", "__getitem__"}
     for name in EXPORTED_FUNCTIONS.values():
-        assert name in cf.__all__ or hasattr(cf, name)
+        if name in methods:
+            assert hasattr(cf.SCSet, name) or hasattr(cf, name)
+        else:
+            assert name in cf.__all__, name
 
 
 def test_container_surface():

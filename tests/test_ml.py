@@ -413,3 +413,126 @@ def test_factorize_storage_dtype_matches_float():
     np.testing.assert_allclose(b.measure["likelihood"],
                                a.measure["likelihood"], rtol=1e-12)
     np.testing.assert_array_equal(b.basis[0], a.basis[0])
+
+
+def test_ml_checkpoint_every_matches_uninterrupted(tmp_path):
+    """Chunked ML sweep execution (checkpoint_every) gives bit-identical
+    results to one uninterrupted run, including after a simulated
+    crash + resume — the factorize twin of the VB driver's
+    test_checkpoint_every_matches_uninterrupted (reference treats the
+    drivers symmetrically, R/factorize.R:139-276 vs
+    R/bayesian.R:229-390)."""
+    import pytest
+
+    sim = cf.simulate_whx(nrow=25, ncol=40, rank=3, seed=31)
+    s = cf.SCSet(count=sim["x"])
+    kw = dict(ranks=[2, 3], nrun=2, verbose=0, Itmax=400, seed=4)
+    a = cf.factorize(s, **kw)
+    b = cf.factorize(s, checkpoint_dir=str(tmp_path / "ck1"),
+                     checkpoint_every=30, **kw)
+    np.testing.assert_array_equal(a.measure["likelihood"],
+                                  b.measure["likelihood"])
+    np.testing.assert_array_equal(a.measure["dispersion"],
+                                  b.measure["dispersion"])
+    for k in range(2):
+        np.testing.assert_array_equal(a.basis[k], b.basis[k])
+        np.testing.assert_array_equal(a.coeff[k], b.coeff[k])
+
+    # simulated crash after the first chunk, then resume
+    from ccfindr_tpu.drivers import ml_driver as md
+
+    orig = md._chunked_ml
+    calls = {"n": 0}
+
+    def boom(call, *args, **kwargs):
+        def wrapped(*a, **k):
+            calls["n"] += 1
+            if calls["n"] == 2:
+                raise KeyboardInterrupt
+            return call(*a, **k)
+        return orig(wrapped, *args, **kwargs)
+
+    md._chunked_ml = boom
+    try:
+        with pytest.raises(KeyboardInterrupt):
+            cf.factorize(s, checkpoint_dir=str(tmp_path / "ck2"),
+                         checkpoint_every=30, **kw)
+    finally:
+        md._chunked_ml = orig
+    import os
+    assert any("ml_sweeps" in f for f in os.listdir(tmp_path / "ck2"))
+    c = cf.factorize(s, checkpoint_dir=str(tmp_path / "ck2"),
+                     checkpoint_every=30, **kw)
+    np.testing.assert_array_equal(a.measure["likelihood"],
+                                  c.measure["likelihood"])
+    for k in range(2):
+        np.testing.assert_array_equal(a.basis[k], c.basis[k])
+
+
+def test_ml_checkpoint_connectivity_criterion(tmp_path):
+    """The connectivity stopping criterion's resume carry (cid streak)
+    survives chunking bit-exactly."""
+    sim = cf.simulate_whx(nrow=20, ncol=30, rank=3, seed=7)
+    s = cf.SCSet(count=sim["x"])
+    kw = dict(ranks=[3], nrun=2, verbose=0, Itmax=200, seed=5,
+              criterion="connectivity", ncnn_step=10)
+    a = cf.factorize(s, **kw)
+    b = cf.factorize(s, checkpoint_dir=str(tmp_path),
+                     checkpoint_every=13, **kw)
+    np.testing.assert_array_equal(a.measure["likelihood"],
+                                  b.measure["likelihood"])
+    np.testing.assert_array_equal(a.basis[0], b.basis[0])
+
+
+def test_ml_sample_progress_restore(tmp_path):
+    """checkpoint_dir alone persists completed samples of a
+    randomized scan; a rerun restores them and matches exactly."""
+    sim = cf.simulate_whx(nrow=20, ncol=30, rank=2, seed=8)
+    s = cf.SCSet(count=sim["x"])
+    kw = dict(ranks=[2, 3], nrun=2, verbose=0, Itmax=100, seed=9,
+              randomize=True, nsmpl=2)
+    a = cf.factorize(s, **kw)
+    ck = str(tmp_path / "prog")
+    b = cf.factorize(s, checkpoint_dir=ck, **kw)
+    np.testing.assert_array_equal(a.measure["likelihood"],
+                                  b.measure["likelihood"])
+
+    # crash right after sample 0's progress save, then rerun: the
+    # finished sample restores from the store and the final result is
+    # identical
+    import numpy as _np
+
+    calls = {"n": 0}
+    orig_np_savez = _np.savez
+
+    def crash_after_first(file, **kwargs):
+        orig_np_savez(file, **kwargs)
+        if "ml_progress" in str(file):
+            calls["n"] += 1
+            if calls["n"] == 1:
+                raise KeyboardInterrupt
+
+    _np.savez = crash_after_first
+    try:
+        with pytest.raises(KeyboardInterrupt):
+            cf.factorize(s, checkpoint_dir=ck, **kw)
+    finally:
+        _np.savez = orig_np_savez
+    c = cf.factorize(s, checkpoint_dir=ck, **kw)
+    np.testing.assert_array_equal(a.measure["likelihood"],
+                                  c.measure["likelihood"])
+    np.testing.assert_array_equal(a.measure["r_se"],
+                                  c.measure["r_se"])
+
+
+def test_ml_compact_every_bit_exact():
+    """ML converged-lane compaction == unchunked run, bit-exact."""
+    sim = cf.simulate_whx(nrow=30, ncol=50, rank=3, seed=2)
+    s = cf.SCSet(count=sim["x"])
+    kw = dict(ranks=[2, 3, 4], nrun=3, verbose=0, Itmax=400, seed=4)
+    a = cf.factorize(s, **kw)
+    b = cf.factorize(s, compact_every=40, **kw)
+    np.testing.assert_array_equal(a.measure["likelihood"],
+                                  b.measure["likelihood"])
+    for k in range(len(a.ranks)):
+        np.testing.assert_array_equal(a.basis[k], b.basis[k])
