@@ -286,14 +286,17 @@ def bench_sparse_oversize(n=16384, m=1114112, r=16, density=0.02,
     return out, dict(nnz=int(nnz), dense_int8_gb=n * m / 2 ** 30)
 
 
-def bench_compaction(n=2048, m=8192, planted_r=6, ranks=None, nrun=5,
-                     itmax=8000, every=250, tol=1e-7):
+def bench_compaction(n=2048, m=8192, ranks=None, nrun=5,
+                     itmax=3000, every=250):
     """Converged-lane compaction on a heterogeneous rank scan
     (2..16 x nrun): wall-clock of the batched vb_factorize WITH
-    compact_every vs WITHOUT.  Low ranks converge in hundreds of
-    sweeps, high ranks in thousands; without compaction every chunk
-    keeps paying full-batch sweeps for the finished lanes.  Results
-    are bit-identical either way (tests/test_drivers.py).
+    compact_every vs WITHOUT.  Uses UNSTRUCTURED overdispersed counts
+    — planted-rank data converges uniformly in ~100 sweeps at the
+    reference Tol and leaves no tail to compact (measured; BASELINE.md
+    round 4) — so lanes here spread over hundreds-to-thousands of
+    sweeps and the uncompacted batch keeps paying for finished lanes.
+    Evidences agree to float precision between the two paths
+    (tests/test_drivers.py pins this).
     """
     import time as _t
 
@@ -302,17 +305,11 @@ def bench_compaction(n=2048, m=8192, planted_r=6, ranks=None, nrun=5,
     if ranks is None:
         ranks = list(range(2, 17))
     rng = np.random.default_rng(3)
-    wf = rng.gamma(0.5, 1.0, (n, planted_r))
-    hf = rng.gamma(0.5, 1.0, (planted_r, m))
-    x = rng.poisson(wf @ hf * (2.0 * n * m / (wf.sum(0) @ hf.sum(1))))
+    x = rng.poisson(rng.gamma(0.8, 2.5, (n, m)))
     x[x.sum(axis=1) == 0, 0] += 1
     x[0, x.sum(axis=0) == 0] += 1
-    # Tol tightened to 1e-7: at the reference default 1e-5 every
-    # rank converges inside the first chunk at this shape and there is
-    # no tail to compact; the tight tolerance reproduces the
-    # heterogeneous long-tail scan the feature targets
     kw = dict(ranks=ranks, nrun=nrun, verbose=0, Itmax=itmax, seed=0,
-              backend="pallas", unif_stop=False, Tol=tol)
+              backend="pallas", unif_stop=False)
 
     def run(**extra):
         return cf.vb_factorize(x, **kw, **extra)
@@ -329,7 +326,9 @@ def bench_compaction(n=2048, m=8192, planted_r=6, ranks=None, nrun=5,
     # context; evidences agree to float precision (driver docstring)
     same = bool(np.allclose(a.measure["lml"].to_numpy(),
                             b.measure["lml"].to_numpy(), rtol=1e-5))
-    return t_plain, t_comp, same
+    ls_plain = a.metadata["timings"][0]["lane_sweeps_executed"]
+    ls_comp = b.metadata["timings"][0]["lane_sweeps_executed"]
+    return t_plain, t_comp, same, ls_plain, ls_comp
 
 
 def bench_ml(n=4096, m=8192, r=16, k=(32, 160)):
@@ -526,13 +525,19 @@ def main():
                        mxu_bf16=True)
         emit(f"vb_sweeps_per_sec_chip_n{n}_m{m}_r{r}_xint8_bf16",
              sps, "sweeps/s")
-        # converged-lane compaction on a heterogeneous 2..16 x 5 scan
+        # converged-lane compaction on a heterogeneous 2..16 x 5 scan:
+        # wall-clock on THIS tunnel-latency machine plus the
+        # hardware-independent device-work metric (executed
+        # lane-sweeps) — see BASELINE.md round 4
         try:
-            t_plain, t_comp, same = bench_compaction()
+            (t_plain, t_comp, same, ls_plain,
+             ls_comp) = bench_compaction()
             emit("rank_scan_2to16x5_wall_plain", t_plain, "s")
             emit("rank_scan_2to16x5_wall_compacted", t_comp, "s")
-            emit("rank_scan_compaction_speedup", t_plain / t_comp,
+            emit("rank_scan_compaction_wall_speedup", t_plain / t_comp,
                  "x" if same else "x (MISMATCH)")
+            emit("rank_scan_compaction_lane_sweeps_saved",
+                 1.0 - ls_comp / ls_plain, "fraction")
         except Exception as e:          # noqa: BLE001
             print(json.dumps({"metric": "rank_scan_compaction",
                               "error": str(e)[:200]}), flush=True)

@@ -80,7 +80,8 @@ def _load_rank_ckpt(ckpt_dir, rank):
 
 
 def _chunked_vb(call, states, hypers, nb, itmax, every, ckpt_file,
-                np_dtype, verbose, place=None, compact=True):
+                np_dtype, verbose, place=None, compact=True,
+                stats=None):
     """Run a vmapped vb_run in sweep chunks with host checkpoints and
     converged-lane compaction.
 
@@ -213,6 +214,9 @@ def _chunked_vb(call, states, hypers, nb, itmax, every, ckpt_file,
                                      out.hyper_failed)
         o_niter = np.asarray(o_niter)
         o_done = np.asarray(o_done)
+        if stats is not None:
+            stats["lane_sweeps"] = (stats.get("lane_sweeps", 0)
+                                    + len(lanes) * (end - it0 + 1))
         hf[lanes[:nreal]] |= np.asarray(o_hf)[:nreal]
         last_niter[lanes[:nreal]] = o_niter[:nreal]
         # the done flag (stopping rule fired) disambiguates a lane
@@ -921,6 +925,7 @@ def vb_factorize(object, ranks=2, nrun=1, verbose=2,
         with timings.phase("vb_rank_batch", ranks=list(ranks),
                            nrun=nrun):
             every_eff = checkpoint_every or compact_every
+            chunk_stats = {}
             if every_eff:
                 import os
                 ckf = None
@@ -931,13 +936,20 @@ def vb_factorize(object, ranks=2, nrun=1, verbose=2,
                     os.makedirs(checkpoint_dir, exist_ok=True)
                 out = _chunked_vb(call, states, hyper0, nb, itmax,
                                   int(every_eff), ckf, np_dtype,
-                                  verbose, place=place)
+                                  verbose, place=place,
+                                  stats=chunk_stats)
             else:
                 out = call(states, hyper0, jnp.asarray(itmax),
                            jnp.asarray(1),
                            jnp.zeros((nb,), dtype))
             out = jax.tree.map(np.asarray, out)
         timings.records[-1]["total_sweeps"] = int(out.n_iter.sum())
+        # device work actually executed: the vmapped loop runs every
+        # lane until ALL stop, so the plain path pays nb * the max
+        # sweep count; chunked/compacted paths count exactly
+        timings.records[-1]["lane_sweeps_executed"] = (
+            chunk_stats.get("lane_sweeps")
+            or nb * (int(np.max(out.n_iter)) + 1))
         if np.asarray(out.hyper_failed).any():
             print("Warning: hyperparameter update did not converge "
                   "in some runs")   # reference raises, R/bayesian.R:43

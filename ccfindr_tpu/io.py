@@ -18,6 +18,16 @@ import scipy.sparse as sp
 from .container import SCSet, remove_zeros
 
 
+def _open_maybe_gz(path: str, mode: str = "rb"):
+    """Binary handle, transparently gunzipping CellRanger v3 .gz
+    files."""
+    if path.endswith(".gz"):
+        import gzip
+
+        return gzip.open(path, mode)
+    return open(path, mode)
+
+
 def _read_mtx_header(path: str):
     """Returns (n, m, nnz, field, symmetry, n_header_lines).
 
@@ -27,7 +37,7 @@ def _read_mtx_header(path: str):
     format, 'complex' field and 'hermitian' symmetry are rejected by
     name.
     """
-    with open(path, "rb") as f:
+    with _open_maybe_gz(path) as f:
         header = f.readline().decode()
         if not header.startswith("%%MatrixMarket"):
             raise ValueError(f"{path} is not a MatrixMarket file")
@@ -73,7 +83,8 @@ def read_mtx(path: str) -> sp.csr_matrix:
     dtype = np.int64 if field in ("integer", "pattern") else np.float64
 
     lib = get_lib()
-    if lib is not None and field != "pattern":
+    if lib is not None and field != "pattern" \
+            and not path.endswith(".gz"):
         import os
         rows = np.empty(nnz, np.int32)
         cols = np.empty(nnz, np.int32)
@@ -95,8 +106,8 @@ def read_mtx(path: str) -> sp.csr_matrix:
         if rc == 0:
             return _assemble_coo(vals.astype(dtype), rows, cols, n, m,
                                  symmetry)
-    # pure-Python fallback (and the pattern-field path: 2 columns/line)
-    with open(path, "rb") as f:
+    # pure-Python fallback (and the pattern-field / gzip paths)
+    with _open_maybe_gz(path) as f:
         for _ in range(nlines):
             f.readline()
         data = np.loadtxt(f, dtype=np.float64, ndmin=2)
@@ -169,6 +180,9 @@ def read_10x(dir: str, count: str = "matrix.mtx", genes: str = "genes.tsv",
 
     Mirrors reference read_10x (R/utils.R:28-54): count matrix in
     MatrixMarket format plus genes.tsv / barcodes.tsv annotations.
+    CellRanger v3 directories (``matrix.mtx.gz`` + ``features.tsv.gz``
+    + ``barcodes.tsv.gz``) are auto-detected when the v2 names are
+    absent — the format every modern Cell Ranger emits.
     """
     if "remove_zeros" in kw:  # keyword-compatible spelling
         remove_zeros_ = kw.pop("remove_zeros")
@@ -179,6 +193,16 @@ def read_10x(dir: str, count: str = "matrix.mtx", genes: str = "genes.tsv",
     count_path = os.path.join(dir, count)
     genes_path = os.path.join(dir, genes)
     barcodes_path = os.path.join(dir, barcodes)
+    if not os.path.exists(count_path):
+        # CellRanger v3 naming (gzipped, features instead of genes)
+        v3 = dict(count="matrix.mtx.gz", genes="features.tsv.gz",
+                  barcodes="barcodes.tsv.gz")
+        if os.path.exists(os.path.join(dir, v3["count"])):
+            count_path = os.path.join(dir, v3["count"])
+            if not os.path.exists(genes_path):
+                genes_path = os.path.join(dir, v3["genes"])
+            if not os.path.exists(barcodes_path):
+                barcodes_path = os.path.join(dir, v3["barcodes"])
     for p in (count_path, genes_path, barcodes_path):
         if not os.path.exists(p):
             raise FileNotFoundError(f"File {p} does not exist")
@@ -197,12 +221,38 @@ def read_10x(dir: str, count: str = "matrix.mtx", genes: str = "genes.tsv",
 
 
 def write_10x(obj: SCSet, dir: str, count: str = "matrix.mtx",
-              genes: str = "genes.tsv", barcodes: str = "barcodes.tsv"):
-    """Write SCSet contents in 10x format (reference R/utils.R:867-884)."""
+              genes: str = "genes.tsv", barcodes: str = "barcodes.tsv",
+              version: int = 2):
+    """Write SCSet contents in 10x format (reference R/utils.R:867-884).
+
+    ``version=3`` writes the CellRanger v3 layout instead: gzipped
+    ``matrix.mtx.gz`` / ``features.tsv.gz`` / ``barcodes.tsv.gz``.
+    """
+    import gzip
+    import shutil
+
     os.makedirs(dir, exist_ok=True)
-    write_mtx(os.path.join(dir, count), obj.counts)
-    obj.row_data.to_csv(os.path.join(dir, genes), sep=" ", header=False,
-                        index=False)
-    obj.col_data.to_csv(os.path.join(dir, barcodes), sep=" ", header=False,
-                        index=False)
+    if version == 3:
+        count, genes, barcodes = ("matrix.mtx.gz", "features.tsv.gz",
+                                  "barcodes.tsv.gz")
+    mtx_path = os.path.join(dir, count)
+    if mtx_path.endswith(".gz"):
+        tmp = mtx_path[:-3]
+        write_mtx(tmp, obj.counts)
+        with open(tmp, "rb") as fin, gzip.open(mtx_path, "wb") as fout:
+            shutil.copyfileobj(fin, fout)
+        os.remove(tmp)
+    else:
+        write_mtx(mtx_path, obj.counts)
+
+    def _tsv(df, name):
+        p = os.path.join(dir, name)
+        if p.endswith(".gz"):
+            with gzip.open(p, "wt") as f:
+                df.to_csv(f, sep="\t", header=False, index=False)
+        else:
+            df.to_csv(p, sep=" ", header=False, index=False)
+
+    _tsv(obj.row_data, genes)
+    _tsv(obj.col_data, barcodes)
     return obj

@@ -60,9 +60,31 @@ from .vb_kernels import (DEFAULT_BN, DEFAULT_BM, _interpret,
                          _recip_mul, _round_up)
 
 # scal SMEM slot layout: step accumulators 0..8, last-step derived
-# values 9..15
+# values 9..15, Kahan compensation for accumulator k at slot k+16
+# (slots 25..31 spare)
 (_XLOG, _U2, _U3, _SEW, _SLW, _SEH, _SLH, _DTW, _DTH,
  _PEND, _DTERM, _AW, _BW, _AH, _BH, _HFAIL) = range(16)
+_NSCAL = 32
+
+
+def _ksum(scal_ref, slot, val):
+    """Kahan-compensated accumulation into SMEM slot ``slot`` (its
+    compensation lives at ``slot + 16``).
+
+    The grid sums thousands of tile partials sequentially in the
+    factor dtype; at atlas shapes the f32 running total of the O(n*m)
+    ``x*log(wth)`` term reaches ~1e-4 relative error — the same order
+    as Tol=1e-5 stopping decisions (SURVEY §7.3 precision risk, round-3
+    weakness 3).  Compensated summation keeps the cross-step error at
+    a few ulps regardless of step count, at 4 scalar ops per step.
+    """
+    val = val.astype(scal_ref.dtype)
+    c = scal_ref[0, slot + 16]
+    s = scal_ref[0, slot]
+    y = val - c
+    t = s + y
+    scal_ref[0, slot + 16] = (t - s) - y
+    scal_ref[0, slot] = t
 
 
 def _newton_scalar(aw0, ah0, bw0, bh0, lwm, ewm, lhm, ehm, mask,
@@ -182,7 +204,7 @@ def _sol_kernel(n, m_arr, m_live, r, bn, bm, bmh, ni, nj, njh,
     @pl.when(t == 0)
     def _():
         vec_s[...] = jnp.zeros_like(vec_s)
-        for k in range(16):             # SMEM stores must be scalar
+        for k in range(_NSCAL):         # SMEM stores must be scalar
             scal_ref[0, k] = jnp.zeros((), scal_ref.dtype)
 
     # ---- phase X: suffstats + xlog + rowSums(eh) into scratch -------
@@ -235,8 +257,7 @@ def _sol_kernel(n, m_arr, m_live, r, bn, bm, bmh, ni, nj, njh,
         # on non-check sweeps under an elbo_every cadence
         @pl.when(do_elbo)
         def _():
-            scal_ref[0, _XLOG] += jnp.sum(x * jnp.log(wth)).astype(
-                scal_ref.dtype)
+            _ksum(scal_ref, _XLOG, jnp.sum(x * jnp.log(wth)))
 
     # ---- W epilogue, folded into the LAST cell-tile column ----------
     # (j == nj-1 completes swnt tile i — i is innermost — and the ehs
@@ -254,10 +275,10 @@ def _sol_kernel(n, m_arr, m_live, r, bn, bm, bmh, ni, nj, njh,
         lwtn_ref[...] = ln.astype(lwtn_ref.dtype)
         dwt_ref[...] = d.astype(dwt_ref.dtype)
         vec_s[8:16, :] += _row0(rsums, 8, rp, vec_s.dtype)  # csum(ew')
-        scal_ref[0, _U2] += u.astype(scal_ref.dtype)
-        scal_ref[0, _SEW] += se.astype(scal_ref.dtype)
-        scal_ref[0, _SLW] += sl.astype(scal_ref.dtype)
-        scal_ref[0, _DTW] += dtm.astype(scal_ref.dtype)
+        _ksum(scal_ref, _U2, u)
+        _ksum(scal_ref, _SEW, se)
+        _ksum(scal_ref, _SLW, sl)
+        _ksum(scal_ref, _DTW, dtm)
 
     # ---- phase H: dual update, consuming colSums(new ew), on WIDE
     # (rp, bmh) blocks — few appended grid steps ---------------------
@@ -273,10 +294,10 @@ def _sol_kernel(n, m_arr, m_live, r, bn, bm, bmh, ni, nj, njh,
         lhn_ref[...] = ln.astype(lhn_ref.dtype)
         dhn_ref[...] = d.astype(dhn_ref.dtype)
         vec_s[16:24, :] += _row0(rsums, 8, rp, vec_s.dtype)  # rsum(eh')
-        scal_ref[0, _U3] += u.astype(scal_ref.dtype)
-        scal_ref[0, _SEH] += se.astype(scal_ref.dtype)
-        scal_ref[0, _SLH] += sl.astype(scal_ref.dtype)
-        scal_ref[0, _DTH] += dtm.astype(scal_ref.dtype)
+        _ksum(scal_ref, _U3, u)
+        _ksum(scal_ref, _SEH, se)
+        _ksum(scal_ref, _SLH, sl)
+        _ksum(scal_ref, _DTH, dtm)
 
     # ---- last step: ELBO assembly + hyper Newton --------------------
     @pl.when(t == nxy + njh - 1)
@@ -328,7 +349,7 @@ def sol_sweep(x_pad, lwt_p, lh_p, eh_p, sc, *, n, m_arr, m_live, r,
     sweeps of an elbo_every cadence).
 
     Returns (ewt, lwtn, dwt, eh, lhn, dh, scal) — factors padded /
-    W-side transposed; ``scal`` (1, 16) carries the accumulated and
+    W-side transposed; ``scal`` (1, 32) carries the accumulated and
     derived scalars (see module slot constants), including the ELBO
     ``pend``/``dterm`` pair and the post-Newton hyperparameters.
     """
@@ -401,7 +422,7 @@ def sol_sweep(x_pad, lwt_p, lh_p, eh_p, sc, *, n, m_arr, m_live, r,
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((rp_, bmh), h_out_idx,
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 16), pin, memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, _NSCAL), pin, memory_space=pltpu.SMEM),
         ],
         out_shape=[
             jax.ShapeDtypeStruct((rp_, np_), dt),
@@ -410,7 +431,7 @@ def sol_sweep(x_pad, lwt_p, lh_p, eh_p, sc, *, n, m_arr, m_live, r,
             jax.ShapeDtypeStruct((rp_, mp_), dt),
             jax.ShapeDtypeStruct((rp_, mp_), dt),
             jax.ShapeDtypeStruct((rp_, mp_), dt),
-            jax.ShapeDtypeStruct((1, 16), dt),
+            jax.ShapeDtypeStruct((1, _NSCAL), dt),
         ],
         scratch_shapes=[
             pltpu.VMEM((rp_, np_), acc_t),

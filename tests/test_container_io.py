@@ -214,3 +214,110 @@ def test_has_mode_rows_matches_scalar_loop(rng):
     got = has_mode_rows(csr)
     want = np.array([has_mode(x[i]) for i in range(n)])
     np.testing.assert_array_equal(got, want)
+
+
+def test_read_write_10x_v3_gzipped(tmp_path):
+    """CellRanger v3 layout round-trip: gzipped matrix.mtx.gz +
+    features.tsv.gz + barcodes.tsv.gz, auto-detected by read_10x."""
+    import numpy as np
+
+    import ccfindr_tpu as cf
+
+    rng = np.random.default_rng(5)
+    x = rng.poisson(1.0, size=(12, 9))
+    x[x.sum(axis=1) == 0, 0] += 1
+    x[0, x.sum(axis=0) == 0] += 1
+    import pandas as pd
+    s = cf.SCSet(count=x, remove_zeros=False,
+                 row_data=pd.DataFrame({0: [f"G{i}" for i in range(12)]}),
+                 col_data=pd.DataFrame({0: [f"BC{j}" for j in range(9)]}))
+    d = str(tmp_path / "v3")
+    cf.write_10x(s, d, version=3)
+    import os
+    assert sorted(os.listdir(d)) == ["barcodes.tsv.gz",
+                                     "features.tsv.gz",
+                                     "matrix.mtx.gz"]
+    s2 = cf.read_10x(d, remove_zeros=False)
+    np.testing.assert_array_equal(
+        np.asarray(s2.counts_dense()), x)
+
+
+def test_interop_soft_dependency_errors():
+    """AnnData/h5py interop functions exist and raise a clear
+    ImportError when the soft dependency is absent (and work when
+    present — exercised by the skipif-gated tests below)."""
+    import pytest
+
+    import ccfindr_tpu as cf
+
+    for fn in (cf.to_anndata, cf.read_h5ad, cf.read_10x_h5):
+        assert callable(fn)
+    try:
+        import anndata  # noqa: F401
+        has_anndata = True
+    except ImportError:
+        has_anndata = False
+    if not has_anndata:
+        s = cf.SCSet(count=np.ones((3, 4)))
+        with pytest.raises(ImportError, match="anndata"):
+            cf.to_anndata(s)
+
+
+def test_anndata_roundtrip():
+    """SCSet -> AnnData -> SCSet is lossless for counts, annotations,
+    factors and the measure table (requires anndata)."""
+    import pytest
+
+    anndata = pytest.importorskip("anndata")  # noqa: F841
+
+    import ccfindr_tpu as cf
+
+    rng = np.random.default_rng(3)
+    x = rng.poisson(2.0, size=(15, 20))
+    x[x.sum(axis=1) == 0, 0] += 1
+    x[0, x.sum(axis=0) == 0] += 1
+    s = cf.vb_factorize(cf.SCSet(count=x), ranks=[2, 3], nrun=1,
+                        verbose=0, Itmax=50)
+    ad = cf.to_anndata(s)
+    assert ad.shape == (20, 15)            # cells x genes
+    s2 = cf.from_anndata(ad)
+    np.testing.assert_array_equal(np.asarray(s2.counts_dense()),
+                                  np.asarray(s.counts_dense()))
+    assert s2.ranks == s.ranks
+    for k in range(len(s.ranks)):
+        np.testing.assert_allclose(s2.basis[k], s.basis[k])
+        np.testing.assert_allclose(s2.coeff[k], s.coeff[k])
+    np.testing.assert_allclose(s2.measure["lml"], s.measure["lml"])
+
+
+def test_read_10x_h5_v3():
+    """10x HDF5 v3 reader (requires h5py; file synthesized here)."""
+    import tempfile
+
+    import pytest
+
+    h5py = pytest.importorskip("h5py")
+
+    import ccfindr_tpu as cf
+    import scipy.sparse as sp
+
+    rng = np.random.default_rng(1)
+    x = sp.csc_matrix(rng.poisson(1.0, size=(8, 6)))
+    with tempfile.NamedTemporaryFile(suffix=".h5") as tf:
+        with h5py.File(tf.name, "w") as f:
+            g = f.create_group("matrix")
+            g["data"] = x.data
+            g["indices"] = x.indices
+            g["indptr"] = x.indptr
+            g["shape"] = np.asarray(x.shape)
+            g["barcodes"] = np.asarray(
+                [f"BC{i}" for i in range(6)], dtype="S")
+            feat = g.create_group("features")
+            feat["id"] = np.asarray(
+                [f"ENSG{i}" for i in range(8)], dtype="S")
+            feat["name"] = np.asarray(
+                [f"G{i}" for i in range(8)], dtype="S")
+        s = cf.read_10x_h5(tf.name)
+    np.testing.assert_array_equal(np.asarray(s.counts_dense()),
+                                  x.toarray())
+    assert list(s.row_data[1]) == [f"G{i}" for i in range(8)]

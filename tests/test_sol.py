@@ -323,3 +323,48 @@ def test_driver_precision_bf16():
     with pytest.raises(ValueError, match="precision"):
         cf.vb_factorize(s, ranks=[3], nrun=1, verbose=0,
                         backend="dense", precision="bf16")
+
+
+def test_sol_kahan_elbo_accumulation_precision():
+    """The single-launch kernel's SMEM scalar accumulators are
+    Kahan-compensated (round-3 weakness 3 / SURVEY §7.3): the f32
+    cross-step sum of the O(n*m) x*log(wth) data term must track the
+    f64 reference at f32-ulp level even over many grid steps, where a
+    naive running f32 sum drifts by orders of magnitude more."""
+    import numpy as np
+
+    import jax.numpy as jnp
+
+    from ccfindr_tpu.ops.pallas import sol as sp
+    from ccfindr_tpu.ops.pallas.vb_kernels import pad_matrix
+
+    n, m, r = 256, 4096, 4
+    rng = np.random.default_rng(0)
+    x = rng.poisson(20.0, size=(n, m)).astype(np.float32)
+    lw = rng.gamma(4.0, 1.0, size=(n, r)).astype(np.float32)
+    lh = rng.gamma(4.0, 1.0, size=(r, m)).astype(np.float32)
+    eh = lh.copy()
+
+    # small blocks -> 512 sequential grid steps for the accumulator
+    bn, bm = 32, 256
+    xp = pad_matrix(jnp.asarray(x), bn=bn, bm=bm)
+    rp = 8
+    lwt_p, lh_p = sp._pad_factors_t(jnp.asarray(lw), jnp.asarray(lh),
+                                    xp.shape[0], xp.shape[1], rp)
+    eh_p = jnp.pad(jnp.asarray(eh), ((0, rp - r), (0, 0)))
+    sc = jnp.asarray([[1.0, 1.0, 1.0, 1.0,
+                       np.finfo(np.float32).eps, float(r), 0.0,
+                       1.0]], jnp.float32)
+    out = sp.sol_sweep(xp, lwt_p, lh_p, eh_p, sc, n=n, m_arr=m,
+                       m_live=m, r=r, bn=bn, bm=bm)
+    xlog32 = float(out[-1][0, sp._XLOG])
+
+    wth = lw.astype(np.float64) @ lh.astype(np.float64)
+    xlog64 = float(np.sum(x.astype(np.float64) * np.log(wth)))
+    # per-step partials are f32 (intra-tile rounding ~3e-8 relative
+    # at this size); the compensated CROSS-step chain must not add to
+    # that floor.  (The compensation's full payoff is at atlas grid
+    # sizes — tens of thousands of steps — where the naive running
+    # sum's error grows with step count; here it pins the ulp-level
+    # contract at CI scale.)
+    assert abs(xlog32 - xlog64) / abs(xlog64) < 3e-7
