@@ -287,16 +287,17 @@ def bench_sparse_oversize(n=16384, m=1114112, r=16, density=0.02,
 
 
 def bench_compaction(n=2048, m=8192, ranks=None, nrun=5,
-                     itmax=3000, every=250):
-    """Converged-lane compaction on a heterogeneous rank scan
-    (2..16 x nrun): wall-clock of the batched vb_factorize WITH
-    compact_every vs WITHOUT.  Uses UNSTRUCTURED overdispersed counts
-    — planted-rank data converges uniformly in ~100 sweeps at the
-    reference Tol and leaves no tail to compact (measured; BASELINE.md
-    round 4) — so lanes here spread over hundreds-to-thousands of
-    sweeps and the uncompacted batch keeps paying for finished lanes.
-    Evidences agree to float precision between the two paths
-    (tests/test_drivers.py pins this).
+                     itmax=3000, every=100):
+    """Converged-lane compaction on a 2..16 x nrun rank scan:
+    wall-clock AND executed lane-sweeps of the batched vb_factorize
+    WITH compact_every vs WITHOUT.  Measured NEGATIVE result
+    (BASELINE.md round 4): convergence sweep counts cluster within
+    ~2x across ranks at reference tolerances — on unstructured
+    overdispersed counts (the slowest case found) only ~1% of device
+    work is recoverable, while chunking pays re-tracing per batch
+    size and a tunnel dispatch per chunk.  Kept as the honest record
+    of that result; evidences agree to float precision between the
+    two paths (tests/test_drivers.py pins this).
     """
     import time as _t
 

@@ -215,8 +215,12 @@ def _chunked_vb(call, states, hypers, nb, itmax, every, ckpt_file,
         o_niter = np.asarray(o_niter)
         o_done = np.asarray(o_done)
         if stats is not None:
+            # executed rounds: the vmapped loop stops when every lane
+            # in THIS chunk is done, which can be before the chunk
+            # bound
+            rounds = max(0, int(np.max(o_niter[:nreal])) - it0 + 1)
             stats["lane_sweeps"] = (stats.get("lane_sweeps", 0)
-                                    + len(lanes) * (end - it0 + 1))
+                                    + len(lanes) * rounds)
         hf[lanes[:nreal]] |= np.asarray(o_hf)[:nreal]
         last_niter[lanes[:nreal]] = o_niter[:nreal]
         # the done flag (stopping rule fired) disambiguates a lane
@@ -451,14 +455,17 @@ def vb_factorize(object, ranks=2, nrun=1, verbose=2,
     ``compact_every=K`` runs the device loop in K-sweep chunks WITHOUT
     writing checkpoint files, re-packing only still-running (rank,
     run) instances into a smaller batch at each boundary (padded to
-    powers of two, so at most log2(batch) sizes compile).  A
-    heterogeneous rank scan — rank 2 converging in hundreds of sweeps
-    while rank 16 takes thousands — then stops paying full-batch
-    sweeps for converged lanes.  The chunks run as single fused
-    device calls (the tunnel-dispatch-latency-proof path), whose
-    different XLA fusion context can move recorded evidences at
-    float roundoff; ``checkpoint_every`` implies the same compaction
-    through the bit-exact host-checkpointed path instead.
+    powers of two, so at most log2(batch) sizes compile).  The chunks
+    run as single fused device calls (the
+    tunnel-dispatch-latency-proof path), whose different XLA fusion
+    context can move recorded evidences at float roundoff;
+    ``checkpoint_every`` implies the same compaction through the
+    bit-exact host-checkpointed path instead.  Note the measured
+    reality (BASELINE.md round 4): convergence sweep counts cluster
+    within ~2x across ranks at reference tolerances, so there is
+    usually little converged-lane waste to recover and the chunking
+    overhead (re-trace per batch size, dispatch per chunk) can
+    dominate — profile before enabling.
 
     ``suffstats``/``data_term`` override the backend kernels directly.
 

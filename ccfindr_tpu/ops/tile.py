@@ -127,12 +127,12 @@ def _pick_blocks(n, m, bn, bm, density=None):
     """Default blocks, tuned on v5e (BASELINE.md round 4): the
     expansion loop costs ~kt*bn*bm VPU ops per tile ~ (kt/density)
     per nonzero, so the narrowest cell block (128 lanes) minimizes
-    slot padding; bn=1024 amortizes per-tile fixed costs (measured
-    1554 sweeps/s at the 10%-density bench shape vs 1127 at
-    bn=512, bm=512)."""
+    slot padding; a tall gene block amortizes per-tile fixed costs
+    (measured at the 10%-density bench shape: 1697 sweeps/s at
+    bn=2048, 1554 at bn=1024, 1127 at bn=512/bm=512)."""
     del density
     if bn is None:
-        bn = min(1024, _round_up(n, 8))
+        bn = min(2048, _round_up(n, 8))
     if bm is None:
         bm = min(128, _round_up(m, 128))
     return bn, bm
