@@ -38,12 +38,6 @@ def _default_dtype():
     return jnp.float64 if jax.config.jax_enable_x64 else jnp.float32
 
 
-def _assign_rows(dst, src, idx):
-    res = np.array(dst)
-    res[idx] = src[idx]
-    return res
-
-
 def _scatter_rows(dst, src, lanes, nreal):
     res = np.array(dst)
     res[lanes[:nreal]] = src[:nreal]

@@ -265,12 +265,6 @@ def _scatter_rows(dst, src, lanes, nreal):
     return res
 
 
-def _assign_rows(dst, src, idx):
-    res = np.array(dst)
-    res[idx] = src[idx]
-    return res
-
-
 def _place_sharded(x, states, hypers, mesh):
     """Lay out the batched problem on a device mesh: X cell-sharded,
     H-family cell-sharded, W-family replicated, restarts over 'runs'."""
