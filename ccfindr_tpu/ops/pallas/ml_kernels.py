@@ -32,7 +32,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from .vb_kernels import (DEFAULT_BN, DEFAULT_BM, _interpret,
-                         _pad_factors, _recip_mul, _round_up,
+                         _ksum2, _pad_factors, _recip_mul, _round_up,
                          pad_matrix)
 
 
@@ -49,6 +49,7 @@ def _ml_h_kernel(x_ref, w_ref, h_ref, hn_ref, acc_ref, *, bn):
     @pl.when((i == 0) & (j == 0))
     def _():
         acc_ref[0, 0] = jnp.zeros((), acc_ref.dtype)
+        acc_ref[0, 1] = jnp.zeros((), acc_ref.dtype)
 
     @pl.when(i == 0)
     def _():
@@ -57,7 +58,7 @@ def _ml_h_kernel(x_ref, w_ref, h_ref, hn_ref, acc_ref, *, bn):
     hn_ref[...] += jnp.dot(w.T, a, preferred_element_type=acc_t
                            ).astype(hn_ref.dtype)
     # x*log(wh): zero wherever x is zero, so padding contributes nothing
-    acc_ref[0, 0] += jnp.sum(x * jnp.log(wh)).astype(acc_ref.dtype)
+    _ksum2(acc_ref, jnp.sum(x * jnp.log(wh)))
 
 
 def _ml_w_kernel(x_ref, w_ref, h_ref, wn_ref, *, bn):
@@ -100,12 +101,12 @@ def _ml_h_padded(x_pad, w, h, *, n, m, r, bn, bm):
         out_specs=[
             pl.BlockSpec((rp_, bm), lambda j, i: (0, j),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1), lambda j, i: (0, 0),
+            pl.BlockSpec((1, 2), lambda j, i: (0, 0),
                          memory_space=pltpu.SMEM),
         ],
         out_shape=[
             jax.ShapeDtypeStruct((rp_, mp_), acc_t),
-            jax.ShapeDtypeStruct((1, 1), acc_t),
+            jax.ShapeDtypeStruct((1, 2), acc_t),
         ],
         cost_estimate=pl.CostEstimate(
             flops=2 * 2 * np_ * mp_ * rp_,

@@ -65,6 +65,21 @@ def _round_up(v: int, mult: int) -> int:
     return -(-v // mult) * mult
 
 
+def _ksum2(acc_ref, val):
+    """Kahan-compensated accumulation into acc_ref[0, 0] with the
+    compensation at acc_ref[0, 1]: the grid sums one f32 partial per
+    tile sequentially, and at atlas grid sizes the naive running
+    total's error reaches the order of Tol-level stopping decisions
+    (SURVEY §7.3; same treatment as ops/pallas/sol.py _ksum)."""
+    val = val.astype(acc_ref.dtype)
+    c = acc_ref[0, 1]
+    s = acc_ref[0, 0]
+    y = val - c
+    t = s + y
+    acc_ref[0, 1] = (t - s) - y
+    acc_ref[0, 0] = t
+
+
 def pad_matrix(x, bn: int = DEFAULT_BN, bm: int = DEFAULT_BM):
     """Zero-pad a count matrix to tile boundaries (do once per
     factorization; zeros contribute nothing to any kernel output)."""
@@ -181,8 +196,9 @@ def _elbo_kernel(x_ref, lw_ref, lh_ref, lwl_ref, lhl_ref, acc_ref):
     @pl.when((i == 0) & (j == 0))
     def _():
         acc_ref[0, 0] = jnp.zeros((), acc_ref.dtype)
+        acc_ref[0, 1] = jnp.zeros((), acc_ref.dtype)
 
-    acc_ref[0, 0] += -jnp.sum(t).astype(acc_ref.dtype)
+    _ksum2(acc_ref, -jnp.sum(t))
 
 
 @functools.partial(jax.jit, static_argnames=("n", "m", "r", "bn", "bm"))
@@ -213,9 +229,9 @@ def elbo_data_pallas_padded(x_pad, lw, lh, *, n, m, r, bn, bm):
             pl.BlockSpec((rp_, bm), lambda i, j: (0, j),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((1, 1), lambda i, j: (0, 0),
+        out_specs=pl.BlockSpec((1, 2), lambda i, j: (0, 0),
                                memory_space=pltpu.SMEM),
-        out_shape=jax.ShapeDtypeStruct((1, 1), acc_t),
+        out_shape=jax.ShapeDtypeStruct((1, 2), acc_t),
         cost_estimate=pl.CostEstimate(
             flops=2 * 3 * np_ * mp_ * rp_,
             bytes_accessed=np_ * mp_ * x_pad.dtype.itemsize,
@@ -283,6 +299,7 @@ def _fused_cm_kernel(x_ref, lw_ref, lh_ref, swn_ref, shn_ref, acc_ref):
     def _():
         swn_ref[...] = jnp.zeros_like(swn_ref)
         acc_ref[0, 0] = jnp.zeros((), acc_ref.dtype)
+        acc_ref[0, 1] = jnp.zeros((), acc_ref.dtype)
 
     @pl.when(i == 0)
     def _():
@@ -293,7 +310,7 @@ def _fused_cm_kernel(x_ref, lw_ref, lh_ref, swn_ref, shn_ref, acc_ref):
         u, lh.T, preferred_element_type=acc_t).astype(swn_ref.dtype)
     shn_ref[...] += jnp.dot(lw.T, u, preferred_element_type=acc_t
                             ).astype(shn_ref.dtype)
-    acc_ref[0, 0] += jnp.sum(x * jnp.log(wth)).astype(acc_ref.dtype)
+    _ksum2(acc_ref, jnp.sum(x * jnp.log(wth)))
 
 
 def _fused_gm_kernel(x_ref, lw_ref, lh_ref, swn_ref, shn_ref, acc_ref):
@@ -319,6 +336,7 @@ def _fused_gm_kernel(x_ref, lw_ref, lh_ref, swn_ref, shn_ref, acc_ref):
     def _():
         shn_ref[...] = jnp.zeros_like(shn_ref)
         acc_ref[0, 0] = jnp.zeros((), acc_ref.dtype)
+        acc_ref[0, 1] = jnp.zeros((), acc_ref.dtype)
 
     @pl.when(j == 0)
     def _():
@@ -329,7 +347,7 @@ def _fused_gm_kernel(x_ref, lw_ref, lh_ref, swn_ref, shn_ref, acc_ref):
                             ).astype(swn_ref.dtype)
     shn_ref[:, pl.ds(j * bm, bm)] += jnp.dot(
         lw.T, u, preferred_element_type=acc_t).astype(shn_ref.dtype)
-    acc_ref[0, 0] += jnp.sum(x * jnp.log(wth)).astype(acc_ref.dtype)
+    _ksum2(acc_ref, jnp.sum(x * jnp.log(wth)))
 
 
 def _fused_layout(np_, mp_, rp_, itemsize=4):
@@ -397,12 +415,12 @@ def fused_pallas_raw(x_pad, lw_p, lh_p, *, bn=DEFAULT_BN,
         out_specs=[
             swn_spec,
             shn_spec,
-            pl.BlockSpec((1, 1), acc_idx, memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, 2), acc_idx, memory_space=pltpu.SMEM),
         ],
         out_shape=[
             jax.ShapeDtypeStruct((np_, rp_), acc_t),
             jax.ShapeDtypeStruct((rp_, mp_), acc_t),
-            jax.ShapeDtypeStruct((1, 1), acc_t),
+            jax.ShapeDtypeStruct((1, 2), acc_t),
         ],
         cost_estimate=pl.CostEstimate(
             flops=2 * 3 * np_ * mp_ * rp_,
@@ -458,12 +476,12 @@ def fused_pallas_padded(x_pad, lw, lh, *, n, m, r, bn, bm,
         out_specs=[
             swn_spec,
             shn_spec,
-            pl.BlockSpec((1, 1), acc_idx, memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, 2), acc_idx, memory_space=pltpu.SMEM),
         ],
         out_shape=[
             jax.ShapeDtypeStruct((np_, rp_), acc_t),
             jax.ShapeDtypeStruct((rp_, mp_), acc_t),
-            jax.ShapeDtypeStruct((1, 1), acc_t),
+            jax.ShapeDtypeStruct((1, 2), acc_t),
         ],
         cost_estimate=pl.CostEstimate(
             flops=2 * 3 * np_ * mp_ * rp_,
