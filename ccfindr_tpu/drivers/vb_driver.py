@@ -469,13 +469,13 @@ def vb_factorize(object, ranks=2, nrun=1, verbose=2,
     stopping is conservative since the ELBO is monotone (at most k-1
     extra sweeps vs the per-sweep rule).
 
-    ``precision='bf16'`` (opt-in; backend='pallas', single device)
-    pre-casts the sweep's three GEMM operands to bf16 (f32
-    accumulation; the TPU MXU already truncates f32 operands to
-    bf16 per pass, so this changes numerics only marginally while
-    halving the operand traffic feeding the MXU — ~9% faster
-    sweeps measured).  Converged factors move ~1e-3 relative;
-    cluster assignments are unchanged (tests/test_sol.py).
+    ``precision='bf16'`` (opt-in; backend='pallas', single device OR
+    cell-sharded mesh) pre-casts the sweep's three GEMM operands to
+    bf16 (f32 accumulation; the TPU MXU already truncates f32
+    operands to bf16 per pass, so this changes numerics only
+    marginally while halving the operand traffic feeding the MXU —
+    ~9% faster sweeps measured).  Converged factors move ~1e-3
+    relative; cluster assignments are unchanged (tests/test_sol.py).
 
     Returns a new :class:`SCSet` with ranks/basis/dbasis/coeff/dcoeff
     and the measure table (rank, lml, aw, bw, ah, bh, nunif) filled.
@@ -630,6 +630,7 @@ def vb_factorize(object, ranks=2, nrun=1, verbose=2,
         dev_dtype = sd
 
     use_epi = False
+    bf16_handled = False
     if backend == "dense":
         x = jnp.asarray(mat, dev_dtype)
     elif backend == "dense_fused":
@@ -639,10 +640,15 @@ def vb_factorize(object, ranks=2, nrun=1, verbose=2,
         from ..ops import pallas as pk
         if mesh is not None and "cells" in mesh.axis_names:
             # per-shard fused kernel + explicit psum collectives;
-            # X stays unpadded globally (each shard pads locally)
+            # X stays unpadded globally (each shard pads locally).
+            # precision='bf16' pre-casts the per-shard kernel's GEMM
+            # operands exactly as the single-device sol path.
             from ..parallel.sharded import make_fused_sharded
             x = jnp.asarray(mat, dev_dtype)
-            run_kwargs["fused"] = make_fused_sharded(mesh)
+            run_kwargs["fused"] = make_fused_sharded(
+                mesh, mxu_bf16=(precision == "bf16"))
+            if precision == "bf16":
+                bf16_handled = True
         else:
             # single-device production path: the ALL-Pallas sweep
             # (X-pass kernel + posterior-epilogue kernels,
@@ -736,10 +742,11 @@ def vb_factorize(object, ranks=2, nrun=1, verbose=2,
             "single device (the cell-major single-launch path)")
     if precision not in ("f32", "bf16"):
         raise ValueError(f"unknown precision {precision!r}")
-    if precision == "bf16" and "mxu_bf16" not in run_kwargs:
+    if precision == "bf16" and "mxu_bf16" not in run_kwargs \
+            and not bf16_handled:
         raise ValueError(
-            "precision='bf16' is only supported by backend='pallas' "
-            "on a single device (the cell-major single-launch path)")
+            "precision='bf16' is supported by backend='pallas' "
+            "(single device or cell-sharded mesh)")
 
     def _pad_state_mesh(st):
         """Pad an unbatched state to the mesh cell/gene extents

@@ -277,7 +277,8 @@ def fold_dterm(swn, shn, lw, lh, xlog):
               + jnp.sum(shn * (lh * jnp.log(lh)))) + xlog)
 
 
-def _fused_cm_kernel(x_ref, lw_ref, lh_ref, swn_ref, shn_ref, acc_ref):
+def _fused_cm_kernel(mxu_bf16, x_ref, lw_ref, lh_ref, swn_ref,
+                     shn_ref, acc_ref):
     """Cell-major fused kernel: grid (nj, ni), gene tile i innermost.
 
     shn's output block (0, j) is revisited consecutively across i and
@@ -285,6 +286,12 @@ def _fused_cm_kernel(x_ref, lw_ref, lh_ref, swn_ref, shn_ref, acc_ref):
     index), VMEM-resident (physical footprint n x 128 lanes — use the
     gene-major variant when n is large); the scalar xlog accumulates
     in SMEM; lw streams per gene tile.
+
+    ``mxu_bf16`` (opt-in, vb_factorize precision='bf16' — now also on
+    the mesh path): pre-cast the three GEMMs' operands to bf16 in
+    VREGs.  The MXU already truncates f32 operands to 1-pass bf16 on
+    TPU, so numerics barely move; the win is halved operand feed
+    bandwidth (see ops/pallas/sol.py).
     """
     j = pl.program_id(0)
     i = pl.program_id(1)
@@ -292,8 +299,11 @@ def _fused_cm_kernel(x_ref, lw_ref, lh_ref, swn_ref, shn_ref, acc_ref):
     lw = lw_ref[...]
     lh = lh_ref[...]
     x = x_ref[...].astype(lw.dtype)
-    wth = jnp.dot(lw, lh, preferred_element_type=acc_t)
-    u = _recip_mul(x, wth.astype(lw.dtype)).astype(lw.dtype)
+    mt = jnp.bfloat16 if mxu_bf16 else lw.dtype
+    lw_m = lw.astype(mt)
+    lh_m = lh.astype(mt)
+    wth = jnp.dot(lw_m, lh_m, preferred_element_type=acc_t)
+    u = _recip_mul(x, wth.astype(lw.dtype)).astype(mt)
 
     @pl.when((i == 0) & (j == 0))
     def _():
@@ -307,13 +317,14 @@ def _fused_cm_kernel(x_ref, lw_ref, lh_ref, swn_ref, shn_ref, acc_ref):
 
     bn = lw_ref.shape[0]
     swn_ref[pl.ds(i * bn, bn), :] += jnp.dot(
-        u, lh.T, preferred_element_type=acc_t).astype(swn_ref.dtype)
-    shn_ref[...] += jnp.dot(lw.T, u, preferred_element_type=acc_t
+        u, lh_m.T, preferred_element_type=acc_t).astype(swn_ref.dtype)
+    shn_ref[...] += jnp.dot(lw_m.T, u, preferred_element_type=acc_t
                             ).astype(shn_ref.dtype)
     _ksum2(acc_ref, jnp.sum(x * jnp.log(wth)))
 
 
-def _fused_gm_kernel(x_ref, lw_ref, lh_ref, swn_ref, shn_ref, acc_ref):
+def _fused_gm_kernel(mxu_bf16, x_ref, lw_ref, lh_ref, swn_ref,
+                     shn_ref, acc_ref):
     """Gene-major fused kernel: grid (ni, nj), cell tile j innermost.
 
     Dual of the cell-major variant for LARGE GENE PANELS: swn's block
@@ -329,8 +340,11 @@ def _fused_gm_kernel(x_ref, lw_ref, lh_ref, swn_ref, shn_ref, acc_ref):
     lw = lw_ref[...]
     lh = lh_ref[...]
     x = x_ref[...].astype(lw.dtype)
-    wth = jnp.dot(lw, lh, preferred_element_type=acc_t)
-    u = _recip_mul(x, wth.astype(lw.dtype)).astype(lw.dtype)
+    mt = jnp.bfloat16 if mxu_bf16 else lw.dtype
+    lw_m = lw.astype(mt)
+    lh_m = lh.astype(mt)
+    wth = jnp.dot(lw_m, lh_m, preferred_element_type=acc_t)
+    u = _recip_mul(x, wth.astype(lw.dtype)).astype(mt)
 
     @pl.when((i == 0) & (j == 0))
     def _():
@@ -343,10 +357,10 @@ def _fused_gm_kernel(x_ref, lw_ref, lh_ref, swn_ref, shn_ref, acc_ref):
         swn_ref[...] = jnp.zeros_like(swn_ref)
 
     bm = lh_ref.shape[1]
-    swn_ref[...] += jnp.dot(u, lh.T, preferred_element_type=acc_t
+    swn_ref[...] += jnp.dot(u, lh_m.T, preferred_element_type=acc_t
                             ).astype(swn_ref.dtype)
     shn_ref[:, pl.ds(j * bm, bm)] += jnp.dot(
-        lw.T, u, preferred_element_type=acc_t).astype(shn_ref.dtype)
+        lw_m.T, u, preferred_element_type=acc_t).astype(shn_ref.dtype)
     _ksum2(acc_ref, jnp.sum(x * jnp.log(wth)))
 
 
@@ -370,7 +384,7 @@ def _fused_layout(np_, mp_, rp_, itemsize=4):
 
 @functools.partial(jax.jit, static_argnames=("bn", "bm", "layout"))
 def fused_pallas_raw(x_pad, lw_p, lh_p, *, bn=DEFAULT_BN,
-                     bm=DEFAULT_BM, layout="cm"):
+                     bm=DEFAULT_BM, layout="cm", mxu_bf16=False):
     """X-pass on ALREADY-PADDED factors, returning PADDED outputs.
 
     For the Pallas-epilogue loop (ops/pallas/epilogue.py), where
@@ -384,7 +398,8 @@ def fused_pallas_raw(x_pad, lw_p, lh_p, *, bn=DEFAULT_BN,
     acc_t = jnp.promote_types(lw_p.dtype, jnp.float32)
 
     if layout == "cm":
-        kernel, grid = _fused_cm_kernel, (nj, ni)
+        kernel = functools.partial(_fused_cm_kernel, bool(mxu_bf16))
+        grid = (nj, ni)
         x_idx = lambda j, i: (i, j)      # noqa: E731
         lw_idx = lambda j, i: (i, 0)     # noqa: E731
         lh_idx = lambda j, i: (0, j)     # noqa: E731
@@ -394,7 +409,8 @@ def fused_pallas_raw(x_pad, lw_p, lh_p, *, bn=DEFAULT_BN,
                                 memory_space=pltpu.VMEM)
         acc_idx = lambda j, i: (0, 0)    # noqa: E731
     else:
-        kernel, grid = _fused_gm_kernel, (ni, nj)
+        kernel = functools.partial(_fused_gm_kernel, bool(mxu_bf16))
+        grid = (ni, nj)
         x_idx = lambda i, j: (i, j)      # noqa: E731
         lw_idx = lambda i, j: (i, 0)     # noqa: E731
         lh_idx = lambda i, j: (0, j)     # noqa: E731
@@ -433,9 +449,9 @@ def fused_pallas_raw(x_pad, lw_p, lh_p, *, bn=DEFAULT_BN,
 
 
 @functools.partial(jax.jit, static_argnames=("n", "m", "r", "bn", "bm",
-                                             "layout"))
+                                             "layout", "mxu_bf16"))
 def fused_pallas_padded(x_pad, lw, lh, *, n, m, r, bn, bm,
-                        layout=None):
+                        layout=None, mxu_bf16=False):
     np_, mp_ = x_pad.shape
     rp_ = _round_up(max(r, 8), 8)
     lw_p, lh_p = _pad_factors(lw, lh, np_, mp_, rp_)
@@ -445,7 +461,8 @@ def fused_pallas_padded(x_pad, lw, lh, *, n, m, r, bn, bm,
         layout = _fused_layout(np_, mp_, rp_)
 
     if layout == "cm":
-        kernel, grid = _fused_cm_kernel, (nj, ni)
+        kernel = functools.partial(_fused_cm_kernel, bool(mxu_bf16))
+        grid = (nj, ni)
         x_idx = lambda j, i: (i, j)      # noqa: E731
         lw_idx = lambda j, i: (i, 0)     # noqa: E731
         lh_idx = lambda j, i: (0, j)     # noqa: E731
@@ -455,7 +472,8 @@ def fused_pallas_padded(x_pad, lw, lh, *, n, m, r, bn, bm,
                                 memory_space=pltpu.VMEM)
         acc_idx = lambda j, i: (0, 0)    # noqa: E731
     else:
-        kernel, grid = _fused_gm_kernel, (ni, nj)
+        kernel = functools.partial(_fused_gm_kernel, bool(mxu_bf16))
+        grid = (ni, nj)
         x_idx = lambda i, j: (i, j)      # noqa: E731
         lw_idx = lambda i, j: (i, 0)     # noqa: E731
         lh_idx = lambda i, j: (0, j)     # noqa: E731
@@ -498,16 +516,19 @@ def fused_pallas_padded(x_pad, lw, lh, *, n, m, r, bn, bm,
 
 
 def fused_pallas(x, lw, lh, bn: int = DEFAULT_BN, bm: int = DEFAULT_BM,
-                 layout=None):
+                 layout=None, mxu_bf16=False):
     """Single-pass fused backend for ops.vb.vb_run(fused=...): returns
     (swn, shn, dterm) — suffstat numerators (sw = lw*swn, sh = lh*shn)
     plus the ELBO data term for the SAME (lw, lh), reading X once with
-    three GEMMs per tile."""
+    three GEMMs per tile.  ``mxu_bf16``: pre-cast GEMM operands to
+    bf16 (the precision='bf16' opt-in, available on the mesh path
+    through parallel.sharded.make_fused_sharded)."""
     n, r = lw.shape
     m = lh.shape[1]
     x_pad = pad_matrix(x, bn, bm)
     return fused_pallas_padded(x_pad, lw, lh, n=n, m=m, r=r,
-                               bn=bn, bm=bm, layout=layout)
+                               bn=bn, bm=bm, layout=layout,
+                               mxu_bf16=mxu_bf16)
 
 
 def make_fused_backend(bn: int = DEFAULT_BN, bm: int = DEFAULT_BM):

@@ -39,7 +39,8 @@ except ImportError:                      # older JAX
 
 
 def make_fused_sharded(mesh: Mesh, fused_local=None,
-                       bn: int = None, bm: int = None):
+                       bn: int = None, bm: int = None,
+                       mxu_bf16: bool = False):
     """Fused backend for ops.vb.vb_run(fused=...) over a cell-sharded
     mesh.
 
@@ -53,7 +54,7 @@ def make_fused_sharded(mesh: Mesh, fused_local=None,
     """
     if fused_local is None:
         from ..ops.pallas import vb_kernels as pk
-        kw = {}
+        kw = {"mxu_bf16": mxu_bf16}
         if bn is not None:
             kw["bn"] = bn
         if bm is not None:
