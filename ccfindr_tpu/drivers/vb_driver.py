@@ -875,102 +875,122 @@ def vb_factorize(object, ranks=2, nrun=1, verbose=2,
                   if nproc > 1 else np.arange(nb_all))
         nb = len(my_idx)
         if nb == 0:
-            raise ValueError(
-                f"{nproc} processes but only {nb_all} (rank, run) "
-                "items — reduce processes or increase nrun/ranks")
-        rank_arr = rank_arr_all[my_idx]
-        keys = keys_all[my_idx]
-        h1 = Hyper(aw=aw0, bw=bw0, ah=ah0, bh=bh0)
-        if initializer == "random":
-            states = jax.vmap(
-                lambda kk: _init_random_padded(kk, rmax_, h1))(keys)
+            # This process owns no (rank, run) items (nproc > grid
+            # size under the round-robin partition).  It must still
+            # join every collective exchange below, or the owning
+            # hosts deadlock in the all-gather — so skip the local
+            # batch and go straight to the merge with an empty result
+            # set (the Rmpi analog of an idle worker).
+            if verbose >= 1:
+                print(f"process {pid}: idle ({nb_all} (rank, run) "
+                      f"items across {nproc} processes)")
+
+            class _EmptyOut:          # only .lml/.n_iter are read
+                lml = np.zeros(0)     # when my_idx is empty
+                n_iter = np.zeros(0, np.int64)
+
+            _record_multihost(_EmptyOut(), my_idx, ranks, nrun, n, m,
+                              Tol, unif_stop, verbose, nproc, pid,
+                              rdat, results, run_alive)
+            ranks_iter = []
+            body = False
         else:
-            # deterministic per-rank inits (nrun is 1 here), each
-            # padded to rmax_; the fill values are re-masked by
-            # vb_run's rank_mask handling (reference computes vb_init
-            # per (run, rank), R/bayesian.R:334-335)
-            per_rank = {}
-            for t in my_idx:
-                rank = ranks[int(t) // nrun]
-                if rank not in per_rank:
-                    st = vb_ops.vb_init_svd(
-                        mat, rank, h1, variant=initializer,
-                        dtype=dtype, method=svd_method, seed=seed)
-                    per_rank[rank] = _pad_state_mesh(
-                        _pad_state_rank(st, rmax_))
-            states = jax.tree.map(
-                lambda *xs: jnp.stack(xs),
-                *(per_rank[ranks[int(t) // nrun]] for t in my_idx))
-        hyper0 = Hyper(aw=jnp.full((nb,), aw0, dtype),
-                       bw=jnp.full((nb,), bw0, dtype),
-                       ah=jnp.full((nb,), ah0, dtype),
-                       bh=jnp.full((nb,), bh0, dtype))
-        rmask = jnp.asarray(
-            (np.arange(rmax_)[None, :] < rank_arr[:, None]
-             ).astype(np_dtype))
-        rtrue = jnp.asarray(rank_arr.astype(np_dtype))
-        xdev = x
-        if mesh is not None:
-            xdev, states, hyper0 = _place_sharded(x, states, hyper0,
-                                                  mesh)
-        batched = jax.vmap(
-            lambda st, hy, rm, rt, l0, im, i0: run_fn(
-                xdev, st, hy, rank_mask=rm, r_true=rt, itmax=im,
-                it0=i0, lk0_init=l0, **run_kwargs),
-            in_axes=(0, 0, 0, 0, 0, None, None))
-
-        def call(st, hy, im, i0, l0, lanes=None):
-            rm, rt = rmask, rtrue
-            if lanes is not None:
-                # compacted lanes are reordered even when their count
-                # equals nb; lanes may be traced (the chunker's fused
-                # device step) — jnp gather works either way
-                rm, rt = rmask[lanes], rtrue[lanes]
-            return batched(st, hy, rm, rt, l0, im, i0)
-
-        place = ((lambda st, hy: _place_sharded(x, st, hy, mesh)[1:])
-                 if mesh is not None else None)
-        with timings.phase("vb_rank_batch", ranks=list(ranks),
-                           nrun=nrun):
-            every_eff = checkpoint_every or compact_every
-            chunk_stats = {}
-            if every_eff:
-                import os
-                ckf = None
-                if checkpoint_every and checkpoint_dir is not None:
-                    ckname = ("vb_sweeps_batch.npz" if nproc == 1
-                              else f"vb_sweeps_batch_p{pid}.npz")
-                    ckf = os.path.join(checkpoint_dir, ckname)
-                    os.makedirs(checkpoint_dir, exist_ok=True)
-                out = _chunked_vb(call, states, hyper0, nb, itmax,
-                                  int(every_eff), ckf, np_dtype,
-                                  verbose, place=place,
-                                  stats=chunk_stats)
+            body = True
+        if body:
+            rank_arr = rank_arr_all[my_idx]
+            keys = keys_all[my_idx]
+            h1 = Hyper(aw=aw0, bw=bw0, ah=ah0, bh=bh0)
+            if initializer == "random":
+                states = jax.vmap(
+                    lambda kk: _init_random_padded(kk, rmax_, h1))(keys)
             else:
-                out = call(states, hyper0, jnp.asarray(itmax),
-                           jnp.asarray(1),
-                           jnp.zeros((nb,), dtype))
-            out = jax.tree.map(np.asarray, out)
-        timings.records[-1]["total_sweeps"] = int(out.n_iter.sum())
-        # device work actually executed: the vmapped loop runs every
-        # lane until ALL stop, so the plain path pays nb * the max
-        # sweep count; chunked/compacted paths count exactly
-        timings.records[-1]["lane_sweeps_executed"] = (
-            chunk_stats.get("lane_sweeps")
-            or nb * (int(np.max(out.n_iter)) + 1))
-        if np.asarray(out.hyper_failed).any():
-            print("Warning: hyperparameter update did not converge "
-                  "in some runs")   # reference raises, R/bayesian.R:43
-        if nproc > 1:
-            _record_multihost(out, my_idx, ranks, nrun, n, m, Tol,
-                              unif_stop, verbose, nproc, pid, rdat,
-                              results, run_alive)
-        else:
-            for k, rank in enumerate(ranks):
-                for i in range(nrun):
-                    if run_alive[i]:
-                        _record(out, k * nrun + i, i, k, rank)
-        ranks_iter = []
+                # deterministic per-rank inits (nrun is 1 here), each
+                # padded to rmax_; the fill values are re-masked by
+                # vb_run's rank_mask handling (reference computes vb_init
+                # per (run, rank), R/bayesian.R:334-335)
+                per_rank = {}
+                for t in my_idx:
+                    rank = ranks[int(t) // nrun]
+                    if rank not in per_rank:
+                        st = vb_ops.vb_init_svd(
+                            mat, rank, h1, variant=initializer,
+                            dtype=dtype, method=svd_method, seed=seed)
+                        per_rank[rank] = _pad_state_mesh(
+                            _pad_state_rank(st, rmax_))
+                states = jax.tree.map(
+                    lambda *xs: jnp.stack(xs),
+                    *(per_rank[ranks[int(t) // nrun]] for t in my_idx))
+            hyper0 = Hyper(aw=jnp.full((nb,), aw0, dtype),
+                           bw=jnp.full((nb,), bw0, dtype),
+                           ah=jnp.full((nb,), ah0, dtype),
+                           bh=jnp.full((nb,), bh0, dtype))
+            rmask = jnp.asarray(
+                (np.arange(rmax_)[None, :] < rank_arr[:, None]
+                 ).astype(np_dtype))
+            rtrue = jnp.asarray(rank_arr.astype(np_dtype))
+            xdev = x
+            if mesh is not None:
+                xdev, states, hyper0 = _place_sharded(x, states, hyper0,
+                                                      mesh)
+            batched = jax.vmap(
+                lambda st, hy, rm, rt, l0, im, i0: run_fn(
+                    xdev, st, hy, rank_mask=rm, r_true=rt, itmax=im,
+                    it0=i0, lk0_init=l0, **run_kwargs),
+                in_axes=(0, 0, 0, 0, 0, None, None))
+
+            def call(st, hy, im, i0, l0, lanes=None):
+                rm, rt = rmask, rtrue
+                if lanes is not None:
+                    # compacted lanes are reordered even when their count
+                    # equals nb; lanes may be traced (the chunker's fused
+                    # device step) — jnp gather works either way
+                    rm, rt = rmask[lanes], rtrue[lanes]
+                return batched(st, hy, rm, rt, l0, im, i0)
+
+            place = ((lambda st, hy: _place_sharded(x, st, hy, mesh)[1:])
+                     if mesh is not None else None)
+            with timings.phase("vb_rank_batch", ranks=list(ranks),
+                               nrun=nrun):
+                every_eff = checkpoint_every or compact_every
+                chunk_stats = {}
+                if every_eff:
+                    import os
+                    ckf = None
+                    if checkpoint_every and checkpoint_dir is not None:
+                        ckname = ("vb_sweeps_batch.npz" if nproc == 1
+                                  else f"vb_sweeps_batch_p{pid}.npz")
+                        ckf = os.path.join(checkpoint_dir, ckname)
+                        os.makedirs(checkpoint_dir, exist_ok=True)
+                    out = _chunked_vb(call, states, hyper0, nb, itmax,
+                                      int(every_eff), ckf, np_dtype,
+                                      verbose, place=place,
+                                      stats=chunk_stats)
+                else:
+                    out = call(states, hyper0, jnp.asarray(itmax),
+                               jnp.asarray(1),
+                               jnp.zeros((nb,), dtype))
+                out = jax.tree.map(np.asarray, out)
+            timings.records[-1]["total_sweeps"] = int(out.n_iter.sum())
+            # device work actually executed: the vmapped loop runs every
+            # lane until ALL stop, so the plain path pays nb * the max
+            # sweep count; chunked/compacted paths count exactly
+            _ls = chunk_stats.get("lane_sweeps")   # 0 is a legitimate value
+            timings.records[-1]["lane_sweeps_executed"] = (
+                _ls if _ls is not None
+                else nb * (int(np.max(out.n_iter)) + 1))
+            if np.asarray(out.hyper_failed).any():
+                print("Warning: hyperparameter update did not converge "
+                      "in some runs")   # reference raises, R/bayesian.R:43
+            if nproc > 1:
+                _record_multihost(out, my_idx, ranks, nrun, n, m, Tol,
+                                  unif_stop, verbose, nproc, pid, rdat,
+                                  results, run_alive)
+            else:
+                for k, rank in enumerate(ranks):
+                    for i in range(nrun):
+                        if run_alive[i]:
+                            _record(out, k * nrun + i, i, k, rank)
+            ranks_iter = []
     else:
         ranks_iter = list(enumerate(ranks))
 

@@ -382,7 +382,8 @@ def _fused_layout(np_, mp_, rp_, itemsize=4):
     return "gm"
 
 
-@functools.partial(jax.jit, static_argnames=("bn", "bm", "layout"))
+@functools.partial(jax.jit,
+                   static_argnames=("bn", "bm", "layout", "mxu_bf16"))
 def fused_pallas_raw(x_pad, lw_p, lh_p, *, bn=DEFAULT_BN,
                      bm=DEFAULT_BM, layout="cm", mxu_bf16=False):
     """X-pass on ALREADY-PADDED factors, returning PADDED outputs.

@@ -571,7 +571,9 @@ def fused_tile(tc: TileCounts, lw, lh):
     swn_p, shn_p, scal = _tile_pass(tc, lw_p, lh_p)
     swn = swn_p[:n, :r]
     shn = shn_p[:r, :m]
-    xlog = (scal[0, 0] + scal[0, 1]).astype(lw.dtype)
+    # Kahan (y=xl-c; t=s+y; c=(t-s)-y) leaves c holding the amount the
+    # running sum s OVERSHOT; the refined total is s - c
+    xlog = (scal[0, 0] - scal[0, 1]).astype(lw.dtype)
 
     # overflow tail (COO scatter over a few % of nnz)
     lw_ext = jnp.concatenate([lw, jnp.zeros((1, r), lw.dtype)])
@@ -617,7 +619,7 @@ def tile_ml_h(tc: TileCounts, w, h):
     _, shn_p, scal = _tile_pass(tc, w_p, h_p,
                                 want=(False, True, True))
     hn = shn_p[:r, :m]
-    xlog = (scal[0, 0] + scal[0, 1]).astype(w.dtype)
+    xlog = (scal[0, 0] - scal[0, 1]).astype(w.dtype)  # s - c, see fused_tile
 
     w_ext = jnp.concatenate([w, jnp.zeros((1, r), w.dtype)])
     h_ext = jnp.concatenate(
