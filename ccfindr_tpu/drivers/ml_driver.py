@@ -190,7 +190,7 @@ def factorize(object, ranks=2, nrun=20, randomize=False, nsmpl=1,
               backend="dense", mesh=None, batch_ranks="auto",
               prior=False, gamma_a=1.0, gamma_b=1.0,
               cophenetic_max_cells=10000, cophenetic_nsub=3,
-              storage_dtype=None, sparse_layout="auto",
+              storage_dtype="auto", sparse_layout="auto",
               checkpoint_dir=None, checkpoint_every=None,
               compact_every=None,
               distributed="auto", _process_count=None,
@@ -228,7 +228,9 @@ def factorize(object, ranks=2, nrun=20, randomize=False, nsmpl=1,
 
     ``storage_dtype`` stores X on device as int8/int16 (dense layouts
     only): 4x/2x less X HBM traffic with exact math, mirroring
-    vb_factorize.
+    vb_factorize.  ``'auto'`` (the default) compresses raw integer
+    counts that fit and silently keeps floats/overflow/sparse at full
+    precision; ``None`` opts out.
 
     ``mesh`` shards X and H over the mesh's 'cells' axis (W stays
     replicated): 'dense'/'dense_fused' partition via GSPMD, 'pallas'
@@ -291,6 +293,10 @@ def factorize(object, ranks=2, nrun=20, randomize=False, nsmpl=1,
             raise ValueError("Input matrix contains empty columns")
 
     dev_dtype = dtype
+    if isinstance(storage_dtype, str) and storage_dtype == "auto":
+        from ..utils import auto_storage_dtype
+        storage_dtype = (None if backend == "sparse"
+                         else auto_storage_dtype(mat0))
     if storage_dtype is not None:
         sd = np.dtype(storage_dtype)
         if backend == "sparse":

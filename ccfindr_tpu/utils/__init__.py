@@ -1,1 +1,30 @@
 from .profiling import profile_trace, Timings  # noqa: F401
+
+import numpy as _np
+
+
+def auto_storage_dtype(mat):
+    """Pick the compressed on-device X dtype for ``storage_dtype='auto'``.
+
+    Raw UMI counts are small integers; storing X as int8/int16 on
+    device cuts the per-sweep HBM stream 4x/2x with EXACT math — the
+    kernels upcast tiles in VMEM before any arithmetic (measured:
+    int8 5,119 vs f32 4,885 north-star sweeps/s, BENCH_r04).  Returns
+    ``numpy.int8``/``numpy.int16`` when every entry is an integer that
+    fits, else ``None`` (normalized/float matrices and counts beyond
+    int16 keep the full-precision stream).
+
+    The integrality scan runs in bounded chunks so the atlas-scale
+    matrix (2e9 elements) never allocates a full-size temporary.
+    """
+    if mat.size == 0:
+        return None
+    mx = float(mat.max())
+    if mx > _np.iinfo(_np.int16).max or float(mat.min()) < 0:
+        return None
+    rows = max(1, (1 << 24) // max(1, int(mat.shape[-1])))
+    for i0 in range(0, mat.shape[0], rows):
+        blk = mat[i0:i0 + rows]
+        if not _np.array_equal(blk, _np.round(blk)):
+            return None
+    return _np.int8 if mx <= _np.iinfo(_np.int8).max else _np.int16

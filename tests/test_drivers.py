@@ -334,6 +334,47 @@ def test_storage_dtype_integer_exact():
                         storage_dtype="uint8")
 
 
+def test_storage_dtype_auto_default():
+    """storage_dtype='auto' (the driver default since round 5):
+    integer counts get the compressed layout with results identical
+    to the uncompressed run (exact upcast); floats / overflow fall
+    back to the full-precision stream instead of erroring."""
+    from ccfindr_tpu.utils import auto_storage_dtype
+
+    # dtype-selection unit cases
+    assert auto_storage_dtype(np.full((3, 4), 5.0)) == np.int8
+    a = np.full((3, 4), 5.0)
+    a[0, 0] = 300.0
+    assert auto_storage_dtype(a) == np.int16
+    a[0, 0] = 40000.0
+    assert auto_storage_dtype(a) is None          # beyond int16
+    a[0, 0] = 0.5
+    assert auto_storage_dtype(a) is None          # not integral
+    a[0, 0] = -1.0
+    assert auto_storage_dtype(a) is None          # negative
+
+    sim = cf.simulate_whx(nrow=24, ncol=30, rank=3, seed=13)
+    s = cf.SCSet(count=sim["x"])
+    kw = dict(ranks=[2], nrun=2, verbose=0, Itmax=200, seed=2)
+    d = cf.vb_factorize(s, **kw)                  # default: auto
+    e = cf.vb_factorize(s, storage_dtype=None, **kw)
+    np.testing.assert_array_equal(d.measure["lml"], e.measure["lml"])
+    np.testing.assert_array_equal(d.basis[0], e.basis[0])
+
+    # normalized (float) matrix: auto silently keeps f32
+    sn = cf.normalize_count(s)
+    out = cf.vb_factorize(sn, ranks=[2], nrun=1, verbose=0, Itmax=50)
+    assert out.ranks == [2]
+
+    # ML driver shares the default
+    f = cf.factorize(s, ranks=[2], nrun=2, verbose=0, Itmax=100,
+                     seed=3)
+    g = cf.factorize(s, ranks=[2], nrun=2, verbose=0, Itmax=100,
+                     seed=3, storage_dtype=None)
+    np.testing.assert_array_equal(
+        f.measure["likelihood"], g.measure["likelihood"])
+
+
 def test_svd_init_batched_matches_sequential():
     """Deterministic initializers run under batch_ranks (VERDICT r3
     item 7): the batched padded-rank path equals the sequential
