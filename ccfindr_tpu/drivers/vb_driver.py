@@ -463,8 +463,9 @@ def vb_factorize(object, ranks=2, nrun=1, verbose=2,
 
     ``suffstats``/``data_term`` override the backend kernels directly.
 
-    ``elbo_every=k`` (opt-in; backend='pallas', single device)
-    evaluates the ELBO and convergence test only every k-th sweep,
+    ``elbo_every=k`` (opt-in; backend='pallas', single device or
+    cell-sharded mesh) evaluates the ELBO and convergence test only
+    every k-th sweep,
     skipping the data term's O(n*m) transcendental on the others —
     stopping is conservative since the ELBO is monotone (at most k-1
     extra sweeps vs the per-sweep rule).
@@ -644,6 +645,7 @@ def vb_factorize(object, ranks=2, nrun=1, verbose=2,
         dev_dtype = sd
 
     use_epi = False
+    use_sol_mesh = False
     bf16_handled = False
     if backend == "dense":
         x = jnp.asarray(mat, dev_dtype)
@@ -653,16 +655,44 @@ def vb_factorize(object, ranks=2, nrun=1, verbose=2,
     elif backend == "pallas":
         from ..ops import pallas as pk
         if mesh is not None and "cells" in mesh.axis_names:
-            # per-shard fused kernel + explicit psum collectives;
-            # X stays unpadded globally (each shard pads locally).
-            # precision='bf16' pre-casts the per-shard kernel's GEMM
-            # operands exactly as the single-device sol path.
-            from ..parallel.sharded import make_fused_sharded
-            x = jnp.asarray(mat, dev_dtype)
-            run_kwargs["fused"] = make_fused_sharded(
-                mesh, mxu_bf16=(precision == "bf16"))
-            if precision == "bf16":
-                bf16_handled = True
+            from ..ops.pallas.vb_kernels import (
+                DEFAULT_BN, DEFAULT_BM, _fused_layout,
+                _round_up as _ru)
+            genes_sharded = ("genes" in mesh.axis_names
+                             and mesh.shape["genes"] > 1)
+            rp_probe = _ru(max(max(ranks), 8), 8)
+            if genes_sharded or _fused_layout(
+                    n_pad, m_pad, rp_probe) != "cm":
+                # gene-sharded or gene-major shapes: per-shard fused
+                # X-pass kernel + explicit psums, posterior epilogues
+                # in the eager-XLA fused loop (the only path where
+                # shn must psum over gene shards)
+                from ..parallel.sharded import make_fused_sharded
+                x = jnp.asarray(mat, dev_dtype)
+                run_kwargs["fused"] = make_fused_sharded(
+                    mesh, mxu_bf16=(precision == "bf16"))
+                if precision == "bf16":
+                    bf16_handled = True
+            else:
+                # cell-sharded production path (round 5): the
+                # single-launch 'sol' architecture per shard —
+                # per-shard X-pass kernel, psum of the (r, n) swnt
+                # partial + ELBO scalars, per-shard dual-epilogue
+                # kernel, in-kernel scalar-core hyper Newton
+                # (ops/pallas/sol_sharded.py).  Removes the eager-XLA
+                # epilogue + Newton chain the round-4 mesh path paid
+                # per sweep.  X is padded ONCE so every shard is
+                # tile-aligned.
+                from ..ops.pallas import sol_sharded as _ssh
+                ncax = mesh.shape["cells"]
+                mp2 = ncax * _ru(m_pad // ncax, DEFAULT_BM)
+                np2 = _ru(n, DEFAULT_BN)
+                x = jnp.asarray(
+                    np.pad(mat, ((0, np2 - n), (0, mp2 - m_pad))),
+                    dev_dtype)
+                run_kwargs["sweep_fn"] = \
+                    _ssh.make_sol_sweep_sharded(mesh)
+                use_sol_mesh = True
         else:
             # single-device production path: the ALL-Pallas sweep
             # (X-pass kernel + posterior-epilogue kernels,
@@ -722,7 +752,17 @@ def vb_factorize(object, ranks=2, nrun=1, verbose=2,
         use_epi = False
 
     run_fn = vb_ops.vb_run
-    if use_epi:
+    if use_sol_mesh:
+        # the sol convergence loop with the per-shard sweep swapped
+        # in — elbo_every and precision='bf16' work exactly as on the
+        # single-device sol path (VERDICT r4 item 5)
+        from ..ops.pallas import sol as _sol
+        run_fn = _sol.vb_run_sol
+        if elbo_every != 1:
+            run_kwargs["elbo_every"] = int(elbo_every)
+        if precision == "bf16":
+            run_kwargs["mxu_bf16"] = True
+    elif use_epi:
         from ..ops.pallas import epilogue as _epi
         from ..ops.pallas import sol as _sol
         from ..ops.pallas.vb_kernels import (_fused_layout,
@@ -752,8 +792,8 @@ def vb_factorize(object, ranks=2, nrun=1, verbose=2,
 
     if elbo_every != 1 and "elbo_every" not in run_kwargs:
         raise ValueError(
-            "elbo_every is only supported by backend='pallas' on a "
-            "single device (the cell-major single-launch path)")
+            "elbo_every is supported by backend='pallas' (single "
+            "device or cell-sharded mesh; cell-major shapes)")
     if precision not in ("f32", "bf16"):
         raise ValueError(f"unknown precision {precision!r}")
     if precision == "bf16" and "mxu_bf16" not in run_kwargs \

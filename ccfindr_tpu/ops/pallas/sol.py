@@ -494,15 +494,15 @@ def _pad_factors_t(lw, lh, np_, mp_, rp_):
 
 @functools.partial(jax.jit, static_argnames=(
     "hyper_mask", "n0", "dn", "bn", "bm", "m_true", "elbo_every",
-    "mxu_bf16"))
+    "mxu_bf16", "sweep_fn"))
 def vb_run_sol(x_pad, state0: VBState, hyper0: Hyper, *,
                itmax: int = 10000, tol: float = 1e-5, fudge=None,
                hyper_mask=(True,) * 4, n0: int = 10, dn: int = 1,
                bn: int = DEFAULT_BN, bm: int = DEFAULT_BM,
                cell_mask=None, m_true=None, rank_mask=None,
                r_true=None, it0=1, lk0_init=None,
-               elbo_every: int = 1, mxu_bf16: bool = False
-               ) -> VBRunResult:
+               elbo_every: int = 1, mxu_bf16: bool = False,
+               sweep_fn=None) -> VBRunResult:
     """vb_run with ONE kernel launch per sweep (see module docstring).
 
     Drop-in twin of ops/pallas/epilogue.vb_run_epi (same signature
@@ -520,6 +520,10 @@ def vb_run_sol(x_pad, state0: VBState, hyper0: Hyper, *,
     k-sweep relative change is >= the 1-sweep change: stopping is
     conservative (never earlier than the per-sweep rule, at most k-1
     extra sweeps).
+
+    ``sweep_fn`` (static) swaps the per-sweep kernel for a
+    signature-compatible one — ops/pallas/sol_sharded.py's cell-mesh
+    sweep runs this exact convergence loop over a device mesh.
     """
     n, r = state0.lw.shape
     m = m_true if m_true is not None else state0.lh.shape[1]
@@ -583,7 +587,8 @@ def vb_run_sol(x_pad, state0: VBState, hyper0: Hyper, *,
             else jnp.asarray(True)
         sc = jnp.stack([aw, bw, ah, bh, fudge, r_live, lgx,
                         elbo_now.astype(ref_t)])[None, :].astype(ref_t)
-        (ewt_n, lwt_n, dwt_n, eh_n, lh_n, dh_n, scal) = sol_sweep(
+        _sweep = sweep_fn if sweep_fn is not None else sol_sweep
+        (ewt_n, lwt_n, dwt_n, eh_n, lh_n, dh_n, scal) = _sweep(
             x_pad, lwt_p, lh_p, eh_p, sc, n=n, m_arr=m_arr, m_live=m,
             r=r, bn=bn, bm=bm, hyper_mask=hyper_mask,
             mxu_bf16=mxu_bf16)
