@@ -143,9 +143,20 @@ def _cluster_colors(n):
 
 def gene_map(object: SCSet, rank=None, markers=None, subtract_mean=True,
              log=True, max_per_cluster=10, gene_names=None,
-             main="Genes", ax=None):
+             main="Genes", ax=None, row_cluster=False):
     """Heatmap of metagene basis-matrix magnitudes
-    (reference R/utils.R:396-418)."""
+    (reference R/utils.R:396-418).
+
+    ``row_cluster=True`` reproduces the reference's row layout: it
+    renders W through ``stats::heatmap(w, RowSideColors=..,
+    revC=TRUE)`` (R/utils.R:416-418), which orders rows by a
+    hierarchical dendrogram.  Here: scipy complete-linkage on
+    euclidean distances (stats::heatmap's defaults) with optimal leaf
+    ordering, rows displayed bottom-up (the ``revC=TRUE`` visual),
+    and the dendrogram drawn in a side panel.  The default
+    (``False``) keeps the argmax-cluster block ordering, which groups
+    metagenes contiguously.
+    """
     import matplotlib.pyplot as plt
 
     if rank is None:
@@ -161,7 +172,25 @@ def gene_map(object: SCSet, rank=None, markers=None, subtract_mean=True,
     wsel = w[rows]
     nm = names[rows]
     gid = np.argmax(wsel, axis=1)
-    order = np.argsort(gid, kind="stable")
+
+    dax = None
+    if row_cluster and len(nm) > 2:
+        from scipy.cluster import hierarchy
+
+        lk = hierarchy.optimal_leaf_ordering(
+            hierarchy.linkage(wsel, method="complete"), wsel)
+        order = hierarchy.leaves_list(lk)[::-1]     # revC=TRUE
+        if ax is None:
+            _, (dax, ax) = plt.subplots(
+                1, 2, figsize=(7.5, max(4, 0.25 * len(nm))),
+                width_ratios=[1, 4], sharey=False)
+            with plt.rc_context({"lines.linewidth": 0.8}):
+                hierarchy.dendrogram(
+                    lk, ax=dax, orientation="left", no_labels=True,
+                    color_threshold=0, above_threshold_color="0.3")
+            dax.set_axis_off()
+    else:
+        order = np.argsort(gid, kind="stable")
     wsel, nm, gid = wsel[order], nm[order], gid[order]
 
     if ax is None:

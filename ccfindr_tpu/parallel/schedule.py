@@ -55,6 +55,29 @@ def gather_results(local_values: np.ndarray, local_idx: np.ndarray,
     return np.max(gathered, axis=0)
 
 
+def gather_rows(local_rows, local_idx, n_items: int, row_len: int,
+                process_count=None):
+    """All-gather per-item integer VECTOR results (e.g. the per-restart
+    hard cluster assignments the ML consensus needs — m int32 each,
+    VERDICT r4 item 3).
+
+    Each item is owned by exactly one process (partition_items);
+    non-owners contribute all-zero rows, so summing the gathered
+    (procs, n_items, row_len) table reconstructs the full matrix.
+    """
+    import jax
+
+    if process_count is None:
+        process_count = jax.process_count()
+    out = np.zeros((n_items, row_len), np.int32)
+    if len(local_idx):
+        out[np.asarray(local_idx, dtype=np.int64)] = local_rows
+    if process_count == 1:
+        return out
+    gathered = _allgather(out)             # (procs, n_items, row_len)
+    return gathered.sum(axis=0, dtype=np.int32)
+
+
 def _allgather(arr: np.ndarray) -> np.ndarray:
     """process_allgather seam (monkeypatchable in single-process
     tests)."""

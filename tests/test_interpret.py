@@ -61,6 +61,11 @@ def test_write_meta(tmp_path):
 def test_heatmaps_and_tsne_run():
     s = _factorized_object()
     assert cf.gene_map(s, rank=3) is not None
+    # hierarchical row ordering + dendrogram panel (the reference's
+    # stats::heatmap revC=TRUE visual, R/utils.R:416-418)
+    ax = cf.gene_map(s, rank=3, row_cluster=True)
+    assert ax is not None
+    assert len(ax.get_yticklabels()) > 2
     assert cf.feature_map(s, rank=3) is not None
     assert cf.cell_map(s, rank=3) is not None
     axes = cf.visualize_clusters(s, rank=3)
