@@ -719,7 +719,12 @@ def vb_factorize(object, ranks=2, nrun=1, verbose=2,
                 from ..parallel.sharded import make_tile_fused_sharded
                 x = tk.from_scipy_tile_sharded(mat, mesh.shape["cells"],
                                                m_pad=m_pad, dtype=dtype)
-                run_kwargs["fused"] = make_tile_fused_sharded(mesh)
+                run_kwargs["fused"] = make_tile_fused_sharded(
+                    mesh, mxu_bf16=(precision == "bf16"))
+                if precision == "bf16":
+                    bf16_handled = True
+                if elbo_every != 1:
+                    run_kwargs["elbo_every"] = int(elbo_every)
             elif sparse_layout == "ell":
                 from ..ops import ell as ek
                 from ..parallel.sharded import make_ell_fused_sharded
@@ -741,7 +746,12 @@ def vb_factorize(object, ranks=2, nrun=1, verbose=2,
         else:
             from ..ops import tile as tk
             x = tk.from_scipy_tile(mat, dtype=dtype)
-            run_kwargs["fused"] = tk.make_tile_fused()
+            run_kwargs["fused"] = tk.make_tile_fused(
+                mxu_bf16=(precision == "bf16"))
+            if precision == "bf16":
+                bf16_handled = True
+            if elbo_every != 1:
+                run_kwargs["elbo_every"] = int(elbo_every)
     else:
         raise ValueError(f"unknown backend {backend!r}")
     if suffstats is not None:
@@ -793,14 +803,16 @@ def vb_factorize(object, ranks=2, nrun=1, verbose=2,
     if elbo_every != 1 and "elbo_every" not in run_kwargs:
         raise ValueError(
             "elbo_every is supported by backend='pallas' (single "
-            "device or cell-sharded mesh; cell-major shapes)")
+            "device or cell-sharded mesh; cell-major shapes) and "
+            "the tile-sparse backend")
     if precision not in ("f32", "bf16"):
         raise ValueError(f"unknown precision {precision!r}")
     if precision == "bf16" and "mxu_bf16" not in run_kwargs \
             and not bf16_handled:
         raise ValueError(
-            "precision='bf16' is supported by backend='pallas' "
-            "(single device or cell-sharded mesh)")
+            "precision='bf16' is supported by backend='pallas' and "
+            "the tile-sparse backend (single device or cell-sharded "
+            "mesh)")
 
     def _pad_state_mesh(st):
         """Pad an unbatched state to the mesh cell/gene extents

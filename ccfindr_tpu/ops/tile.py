@@ -343,12 +343,12 @@ _SLOT_GROUP = 4
 
 
 def _tile_kernel(ni, nj, bn, bm, kt, packed, want_swn, want_shn,
-                 want_xlog, *refs):
+                 want_xlog, mxu_bf16, *refs):
     if packed:
-        (cols_ref, lw_ref, lh_ref,
+        (cols_ref, lw_ref, lh_ref, do_ref,
          swn_ref, shn_ref, scal_ref, swn_s, xd_s) = refs
     else:
-        (cols_ref, vals_ref, lw_ref, lh_ref,
+        (cols_ref, vals_ref, lw_ref, lh_ref, do_ref,
          swn_ref, shn_ref, scal_ref, swn_s, xd_s) = refs
     j = pl.program_id(0)
     i = pl.program_id(1)
@@ -388,29 +388,41 @@ def _tile_kernel(ni, nj, bn, bm, kt, packed, want_swn, want_shn,
     xd = xd_s[...]                                     # X^T tile
 
     # ---- dense fused math on the transposed tile (MXU) --------------
+    # mxu_bf16 (opt-in, precision='bf16'): pre-cast the three GEMMs'
+    # operands to bf16 in VREGs (f32 accumulation) — same trade as the
+    # dense sol path (the MXU already truncates f32 operands to 1-pass
+    # bf16; the win is halved operand feed)
+    mt = jnp.bfloat16 if mxu_bf16 else dt
     lw = lw_ref[...]                                   # (bn, rp)
     lh = lh_ref[...]                                   # (rp, bm)
+    lw_m = lw.astype(mt)
+    lh_m = lh.astype(mt)
     # wth^T[c, g] = sum_r lh[r, c] * lw[g, r]
-    wth = lax.dot_general(lh, lw, (((0,), (1,)), ((), ())),
+    wth = lax.dot_general(lh_m, lw_m, (((0,), (1,)), ((), ())),
                           preferred_element_type=acc_t)   # (bm, bn)
     safe = jnp.where(wth > 0, wth, 1.0).astype(dt)
     a = _recip_mul(xd, safe)                           # 0 where xd=0
+    a_m = a.astype(mt)
 
     if want_xlog:
-        xl = jnp.sum(jnp.where(xd > 0, xd * jnp.log(safe), 0.0)
-                     .astype(acc_t))
-        # Kahan-compensated SMEM accumulation: atlas grids sum tens of
-        # thousands of tile partials (SURVEY §7.3 precision risk)
-        c0 = scal_ref[0, 1]
-        s0 = scal_ref[0, 0]
-        y = xl - c0
-        t1 = s0 + y
-        scal_ref[0, 1] = (t1 - s0) - y
-        scal_ref[0, 0] = t1
+        # dynamic skip (elbo_every cadence): the O(nnz) x*log(wth)
+        # transcendental only runs on ELBO-check sweeps
+        @pl.when(do_ref[0, 0] > 0)
+        def _():
+            xl = jnp.sum(jnp.where(xd > 0, xd * jnp.log(safe), 0.0)
+                         .astype(acc_t))
+            # Kahan-compensated SMEM accumulation: atlas grids sum
+            # tens of thousands of tile partials (SURVEY §7.3)
+            c0 = scal_ref[0, 1]
+            s0 = scal_ref[0, 0]
+            y = xl - c0
+            t1 = s0 + y
+            scal_ref[0, 1] = (t1 - s0) - y
+            scal_ref[0, 0] = t1
 
     if want_swn:
         # swn[g, r] = sum_c a^T[c, g] * lh[r, c]
-        swn_c = lax.dot_general(a, lh, (((0,), (1,)), ((), ())),
+        swn_c = lax.dot_general(a_m, lh_m, (((0,), (1,)), ((), ())),
                                 preferred_element_type=acc_t
                                 ).astype(swn_s.dtype)   # (bn, rp)
 
@@ -432,7 +444,7 @@ def _tile_kernel(ni, nj, bn, bm, kt, packed, want_swn, want_shn,
 
     if want_shn:
         # shn[r, c] = sum_g lw[g, r] * a^T[c, g]
-        shn_c = lax.dot_general(lw, a, (((0,), (1,)), ((), ())),
+        shn_c = lax.dot_general(lw_m, a_m, (((0,), (1,)), ((), ())),
                                 preferred_element_type=acc_t
                                 ).astype(dt)            # (rp, bm)
 
@@ -449,11 +461,15 @@ def _tile_kernel(ni, nj, bn, bm, kt, packed, want_swn, want_shn,
             shn_ref[...] = jnp.zeros_like(shn_ref)
 
 
-@functools.partial(jax.jit, static_argnames=("want",))
-def _tile_pass(tc: TileCounts, lw_p, lh_p, want=(True, True, True)):
+@functools.partial(jax.jit,
+                   static_argnames=("want", "mxu_bf16"))
+def _tile_pass(tc: TileCounts, lw_p, lh_p, want=(True, True, True),
+               do_elbo=None, mxu_bf16=False):
     """One pass over the tiles: (swn (n_pad, rp), shn (rp, m_pad),
     scal (1, 2)) from padded factors.  ``want`` statically disables
-    unused outputs (ML phases need only one side)."""
+    unused outputs (ML phases need only one side); ``do_elbo``
+    (dynamic scalar, default on) skips the xlog transcendental on
+    non-ELBO-check sweeps; ``mxu_bf16`` pre-casts GEMM operands."""
     n_pad, rp = lw_p.shape
     m_pad = lh_p.shape[1]
     bn, bm, kt = tc.bn, tc.bm, tc.kt
@@ -462,7 +478,11 @@ def _tile_pass(tc: TileCounts, lw_p, lh_p, want=(True, True, True)):
     acc_t = jnp.promote_types(dt, jnp.float32)
 
     kernel = functools.partial(_tile_kernel, ni, nj, bn, bm, kt,
-                               tc.packed, *(bool(w) for w in want))
+                               tc.packed, *(bool(w) for w in want),
+                               bool(mxu_bf16))
+    if do_elbo is None:
+        do_elbo = jnp.ones((), dt)
+    do_arr = jnp.asarray(do_elbo, dt).reshape(1, 1)
     grid = (nj, ni)
     slot_spec = pl.BlockSpec((kt, bn), lambda j, i: (j * ni + i, 0),
                              memory_space=pltpu.VMEM)
@@ -471,9 +491,11 @@ def _tile_pass(tc: TileCounts, lw_p, lh_p, want=(True, True, True)):
                      memory_space=pltpu.VMEM),
         pl.BlockSpec((rp, bm), lambda j, i: (0, j),
                      memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, 1), lambda j, i: (0, 0),
+                     memory_space=pltpu.SMEM),
     ]
     ins = ([tc.cols] if tc.packed else [tc.cols, tc.vals]) \
-        + [lw_p, lh_p]
+        + [lw_p, lh_p, do_arr]
     swn, shn, scal = pl.pallas_call(
         kernel,
         grid=grid,
@@ -554,11 +576,17 @@ def _pad_lh(lh, m_pad, rp):
     return jnp.pad(out, ((0, rp - r), (0, 0)))
 
 
-@jax.jit
-def fused_tile(tc: TileCounts, lw, lh):
+@functools.partial(jax.jit, static_argnames=("mxu_bf16",))
+def fused_tile(tc: TileCounts, lw, lh, do_elbo=None, mxu_bf16=False):
     """Single-launch fused backend over the tile-sparse layout:
     (swn, shn, dterm) exactly as ops.vb.fused_dense /
     ops.sparse.fused_coo, with sw = lw*swn, sh = lh*shn.
+
+    ``do_elbo`` (dynamic scalar; default on) skips the kernel's
+    O(nnz) x*log(wth) transcendental — the elbo_every cadence's
+    steady-state sweep; the returned dterm is then meaningless and
+    must not be consumed (ops.vb._vb_run_fused guards this).
+    ``mxu_bf16`` pre-casts the kernel GEMM operands (precision='bf16').
     """
     n, m = tc.n, tc.m
     r = lw.shape[1]
@@ -568,7 +596,9 @@ def fused_tile(tc: TileCounts, lw, lh):
     lw_p = _pad_lw(lw, n_pad, rp)
     lh_p = _pad_lh(lh, m_pad, rp)
 
-    swn_p, shn_p, scal = _tile_pass(tc, lw_p, lh_p)
+    swn_p, shn_p, scal = _tile_pass(tc, lw_p, lh_p,
+                                    do_elbo=do_elbo,
+                                    mxu_bf16=mxu_bf16)
     swn = swn_p[:n, :r]
     shn = shn_p[:r, :m]
     # Kahan (y=xl-c; t=s+y; c=(t-s)-y) leaves c holding the amount the
@@ -592,11 +622,13 @@ def fused_tile(tc: TileCounts, lw, lh):
     return swn, shn, dterm
 
 
-def make_tile_fused():
+def make_tile_fused(mxu_bf16=False):
     """Fused kernel for vb_run(fused=...)/vb_factorize
-    backend='sparse' with sparse_layout='tile' (the 'auto' default)."""
-    def fused(x, lw, lh):
-        return fused_tile(x, lw, lh)
+    backend='sparse' with sparse_layout='tile' (the 'auto' default).
+    Accepts vb_run's optional ``do_elbo`` flag (elbo_every cadence)."""
+    def fused(x, lw, lh, do_elbo=None):
+        return fused_tile(x, lw, lh, do_elbo=do_elbo,
+                          mxu_bf16=mxu_bf16)
 
     return fused
 

@@ -647,7 +647,7 @@ class VBRunResult(NamedTuple):
 
 @partial(jax.jit, static_argnames=("hyper_mask", "n0", "dn",
                                    "suffstats", "data_term", "m_true",
-                                   "n_true", "fused"))
+                                   "n_true", "fused", "elbo_every"))
 def vb_run(x, state0: VBState, hyper0: Hyper, *, itmax: int = 10000,
            tol: float = 1e-5, fudge=None, hyper_mask=(True,) * 4,
            n0: int = 10, dn: int = 1,
@@ -657,7 +657,8 @@ def vb_run(x, state0: VBState, hyper0: Hyper, *, itmax: int = 10000,
            cell_mask=None, m_true=None,
            rank_mask=None, r_true=None,
            gene_mask=None, n_true=None,
-           it0=1, lk0_init=None) -> VBRunResult:
+           it0=1, lk0_init=None,
+           elbo_every: int = 1) -> VBRunResult:
     """Iterate vb_sweep to convergence for a single restart.
 
     Stopping mirrors the reference (R/bayesian.R:345-348): after the
@@ -694,6 +695,9 @@ def vb_run(x, state0: VBState, hyper0: Hyper, *, itmax: int = 10000,
     """
     if lk0_init is None:
         lk0_init = 0.0
+    if elbo_every != 1 and fused is None:
+        raise ValueError("elbo_every needs a fused backend whose "
+                         "kernel takes the do_elbo flag")
     if fused is not None:
         return _vb_run_fused(x, state0, hyper0, itmax=itmax, tol=tol,
                              fudge=fudge, hyper_mask=hyper_mask, n0=n0,
@@ -701,7 +705,8 @@ def vb_run(x, state0: VBState, hyper0: Hyper, *, itmax: int = 10000,
                              m_true=m_true, rank_mask=rank_mask,
                              r_true=r_true, gene_mask=gene_mask,
                              n_true=n_true, it0=it0,
-                             lk0_init=lk0_init)
+                             lk0_init=lk0_init,
+                             elbo_every=elbo_every)
     # SparseCounts -> its nonzero values; plain (possibly traced)
     # arrays pass through.  X may be stored in a compressed integer
     # dtype (drivers.vb_driver storage_dtype) — all loop scalars use
@@ -777,7 +782,8 @@ def _vb_run_fused(x, state0: VBState, hyper0: Hyper, *, itmax, tol,
                   cell_mask=None, m_true=None,
                   rank_mask=None, r_true=None,
                   gene_mask=None, n_true=None,
-                  it0=1, lk0_init=0.0) -> VBRunResult:
+                  it0=1, lk0_init=0.0,
+                  elbo_every: int = 1) -> VBRunResult:
     """Deferred-ELBO convergence loop over a fused single-pass kernel.
 
     Fused iteration i evaluates ``fused(x, lw_i, lh_i)``; its data term
@@ -820,13 +826,23 @@ def _vb_run_fused(x, state0: VBState, hyper0: Hyper, *, itmax, tol,
 
     def body(carry):
         it, state, hyper, lk0, pending, done, hfail = carry
-        swn, shn, dterm = fused(x, state.lw, state.lh)
         itp = it - 1                      # the sweep being checked
+        if elbo_every > 1:
+            # elbo_every cadence: the fused kernel skips the data
+            # term's O(nnz) transcendental on non-check sweeps;
+            # stopping is conservative (the ELBO is monotone, so the
+            # k-sweep change bounds the 1-sweep change from above)
+            elbo_now = itp % elbo_every == 0
+            swn, shn, dterm = fused(x, state.lw, state.lh,
+                                    do_elbo=elbo_now.astype(ref_t))
+        else:
+            elbo_now = jnp.asarray(True)
+            swn, shn, dterm = fused(x, state.lw, state.lh)
         lkh_prev = (pending + dterm) / (float(n) * float(m))
         # pending is only valid for sweeps performed in THIS call
         # (itp >= it0); on resume, sweep it0-1 was already checked by
         # the previous call and lk0_init carries its ELBO
-        valid = itp >= it_start
+        valid = (itp >= it_start) & elbo_now
         nan_stop = jnp.isnan(lkh_prev) & valid
         conv = (valid & (itp > 1) & (itp > n0) & (lkh_prev >= lk0)
                 & (jnp.abs(1.0 - lkh_prev / lk0) < tol))

@@ -141,7 +141,7 @@ def make_ell_fused_sharded(mesh: Mesh):
                  out_specs=(P(None, None), P(None, "cells"), P()))
 
 
-def make_tile_fused_sharded(mesh: Mesh):
+def make_tile_fused_sharded(mesh: Mesh, mxu_bf16: bool = False):
     """Fused tile-sparse backend for ops.vb.vb_run(fused=...) over a
     cell-sharded mesh — the Pallas capacity path, NO dense X anywhere.
 
@@ -150,21 +150,31 @@ def make_tile_fused_sharded(mesh: Mesh):
     carries a leading shard axis over 'cells', cell indices local to
     the shard.  Collectives are identical to the other sparse sharded
     paths: psum of the n x r swn partial and the scalar ELBO term;
-    shn is cell-local.
+    shn is cell-local.  Accepts vb_run's optional ``do_elbo`` flag
+    (elbo_every cadence) and ``mxu_bf16`` (precision='bf16').
     """
     from ..ops import tile as tl
 
-    def local(x, lw, lh):
+    def local(x, lw, lh, do_elbo):
         tc = jax.tree.map(lambda a: a[0], x)
-        swn, shn, dterm = tl.fused_tile(tc, lw, lh)
+        swn, shn, dterm = tl.fused_tile(tc, lw, lh, do_elbo=do_elbo,
+                                        mxu_bf16=mxu_bf16)
         swn = jax.lax.psum(swn, "cells")
         dterm = jax.lax.psum(dterm, "cells")
         return swn, shn, dterm
 
-    return _smap(local, mesh,
-                 in_specs=(P("cells"), P(None, None),
-                           P(None, "cells")),
-                 out_specs=(P(None, None), P(None, "cells"), P()))
+    sharded = _smap(local, mesh,
+                    in_specs=(P("cells"), P(None, None),
+                              P(None, "cells"), P()),
+                    out_specs=(P(None, None), P(None, "cells"), P()))
+
+    def fused(x, lw, lh, do_elbo=None):
+        import jax.numpy as jnp
+        if do_elbo is None:
+            do_elbo = jnp.ones((), lw.dtype)
+        return sharded(x, lw, lh, do_elbo)
+
+    return fused
 
 
 def make_tile_ml_sharded(mesh: Mesh):

@@ -273,9 +273,9 @@ def test_connectivity_running_mean_dispersion(capsys):
     sim = cf.simulate_whx(nrow=25, ncol=40, rank=3, seed=4)
     vd.cons.connectivity = spy
     try:
-        cf.vb_factorize(cf.SCSet(count=sim["x"]), ranks=[3], nrun=3,
-                        verbose=2, Itmax=300, connectivity=True,
-                        seed=1)
+        out = cf.vb_factorize(cf.SCSet(count=sim["x"]), ranks=[3],
+                              nrun=3, verbose=2, Itmax=300,
+                              connectivity=True, seed=1)
     finally:
         vd.cons.connectivity = orig_connectivity
     outlines = [ln for ln in capsys.readouterr().out.splitlines()
@@ -293,6 +293,12 @@ def test_connectivity_running_mean_dispersion(capsys):
         assert v == pytest.approx(float(expect), rel=1e-5)
     # first run's dispersion of a single 0/1 connectivity vector is 1
     assert vals[0] == pytest.approx(1.0)
+    # the spied H matrices are the REAL per-restart coefficients, not
+    # driver-internal scratch: the best restart's equals the returned
+    # coeff matrix bit-for-bit, and the restarts are distinct
+    assert any(np.array_equal(h, np.asarray(out.coeff[0]))
+               for h in captured)
+    assert not np.array_equal(captured[0], captured[1])
 
 
 def test_multihost_partitions_svd_init():

@@ -227,3 +227,35 @@ def test_factorize_sparse_randomize():
     assert list(res.measure.columns) == [
         "rank", "likelihood", "r_se", "dispersion", "d_se",
         "cophenetic", "c_se"]
+
+
+def test_tile_elbo_every_and_bf16(mesh8=None):
+    """elbo_every and precision='bf16' on the tile-sparse backend
+    (VERDICT r4 item 5): the capacity path gains both opt-in levers,
+    single-device and cell-sharded mesh.  Under the cadence the
+    recorded lml is the ELBO at the last CHECK sweep (conservative
+    stopping, same semantics as the dense sol path), so the oracle is
+    the dense pallas run under the SAME cadence."""
+    sim = cf.simulate_whx(nrow=24, ncol=40, rank=3, seed=21)
+    s = cf.SCSet(count=sim["x"])
+    kw = dict(ranks=[2, 3], nrun=2, verbose=0, Itmax=250, seed=5)
+    dense5 = cf.vb_factorize(s, backend="pallas", elbo_every=5, **kw)
+    tile5 = cf.vb_factorize(s, backend="sparse", elbo_every=5, **kw)
+    np.testing.assert_allclose(tile5.measure["lml"].to_numpy(),
+                               dense5.measure["lml"].to_numpy(),
+                               rtol=1e-4)
+
+    base = cf.vb_factorize(s, backend="sparse", **kw)
+    bf = cf.vb_factorize(s, backend="sparse", precision="bf16", **kw)
+    assert np.isfinite(bf.measure["lml"]).all()
+    np.testing.assert_allclose(bf.measure["lml"].to_numpy(),
+                               base.measure["lml"].to_numpy(),
+                               rtol=0.05)
+
+    mesh = cf.make_mesh(runs=2, cells=4)
+    both = cf.vb_factorize(s, backend="sparse", mesh=mesh,
+                           elbo_every=5, precision="bf16", **kw)
+    assert np.isfinite(both.measure["lml"]).all()
+    np.testing.assert_allclose(both.measure["lml"].to_numpy(),
+                               base.measure["lml"].to_numpy(),
+                               rtol=0.05)
