@@ -436,6 +436,23 @@ def bench_workflow():
     return dt, ropt
 
 
+def bench_atlas_workflow():
+    """Atlas-scale end-to-end science run (BASELINE.md configs row 4
+    analog): QC -> batched VB rank scan 2..20 -> optimal_rank -> tree
+    -> metagenes on a simulated 100k-cell x 20k-gene atlas, one chip.
+    Returns (total_wall_s, ropt, concordance)."""
+    import importlib.util
+    import os
+
+    path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                        "examples", "atlas_demo.py")
+    spec = importlib.util.spec_from_file_location("atlas_demo", path)
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    ropt, concord, phases = mod.main()
+    return sum(phases.values()), ropt, concord
+
+
 def emit(metric, value, unit, vs_baseline=None):
     rec = {"metric": metric, "value": round(float(value), 3),
            "unit": unit}
@@ -577,6 +594,18 @@ def main():
         leg(f"oversize_{layout}", k_est, f)
     _oversize("tile", 300)
     _oversize("ell", 300)
+
+    # ---- atlas-scale end-to-end science run (QC -> rank scan 2..20
+    # -> optimal_rank -> tree -> metagenes at 100k cells, one chip);
+    # heavy — runs only when the budget clearly allows
+    def _atlas_wf():
+        wall, ropt, concord = bench_atlas_workflow()
+        emit("atlas_workflow_100k_wall", wall, "s")
+        emit("atlas_workflow_100k_ropt", ropt, "rank")
+        if concord is not None:
+            emit("atlas_workflow_100k_concordance", concord,
+                 "fraction")
+    leg("atlas_workflow_100k", 700, _atlas_wf)
 
     # ---- converged-lane compaction scan (measured NEGATIVE result,
     # BASELINE.md round 4; slowest leg — many batch-size recompiles)

@@ -298,9 +298,17 @@ def cell_map(object: SCSet, rank=None, main="Cells", ax=None):
 
 
 def visualize_clusters(object: SCSet, rank=None, verbose=False, cex=16.0,
-                       axes=None, seed=0, **tsne_kw):
+                       axes=None, seed=0, max_cells=20000, **tsne_kw):
     """t-SNE map of cells colored by hard cluster + cluster-size barplot
-    (reference R/utils.R:692-712)."""
+    (reference R/utils.R:692-712).
+
+    ``max_cells`` bounds the t-SNE input at atlas scale (sklearn's
+    Barnes-Hut t-SNE is O(m log m) with a large constant — 100k cells
+    take tens of minutes): beyond it, a seed-deterministic uniform
+    subsample feeds the embedding while the cluster-size barplot keeps
+    ALL cells.  ``None`` disables the bound (the reference embeds
+    everything, R/utils.R:700).
+    """
     import matplotlib.pyplot as plt
     from sklearn.manifold import TSNE
 
@@ -308,11 +316,22 @@ def visualize_clusters(object: SCSet, rank=None, verbose=False, cex=16.0,
         rank = object.ranks[0]
     h = object.coeff_at(rank)
     m = h.shape[1]
-    perplexity = tsne_kw.pop("perplexity", min(30.0, max(2.0, m / 4 - 1)))
+    cid_all = np.argmax(h, axis=0)
+    if max_cells is not None and m > max_cells:
+        sel = np.random.default_rng(seed).choice(m, max_cells,
+                                                 replace=False)
+        sel.sort()
+        h_emb = h[:, sel]
+        cid = cid_all[sel]
+    else:
+        h_emb = h
+        cid = cid_all
+    m_emb = h_emb.shape[1]
+    perplexity = tsne_kw.pop("perplexity",
+                             min(30.0, max(2.0, m_emb / 4 - 1)))
     ts = TSNE(n_components=2, perplexity=perplexity, random_state=seed,
               init="pca", verbose=int(verbose), **tsne_kw)
-    y = ts.fit_transform(h.T)
-    cid = np.argmax(h, axis=0)
+    y = ts.fit_transform(h_emb.T)
     colors = _cluster_colors(h.shape[0])
 
     if axes is None:
@@ -322,7 +341,7 @@ def visualize_clusters(object: SCSet, rank=None, verbose=False, cex=16.0,
     axes[0].set_xlabel("tSNE1")
     axes[0].set_ylabel("tSNE2")
     axes[0].set_title("Clusters")
-    ids, cnt = np.unique(cid, return_counts=True)
+    ids, cnt = np.unique(cid_all, return_counts=True)
     axes[1].bar([str(i + 1) for i in ids], cnt,
                 color=[colors[i] for i in ids])
     axes[1].set_yscale("log")
