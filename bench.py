@@ -213,27 +213,25 @@ def bench_vb(n=4096, m=8192, r=16, backend="pallas_fused",
     return _sweep_rate(body, x, (state, hyper), k1=k[0], k2=k[1])
 
 
-def bench_sparse_oversize(n=16384, m=1114112, r=16, density=0.02,
-                          tile=128, layouts=("tile", "ell")):
-    """HBM-capacity demo (the sparse backends' reason to exist,
-    BASELINE.md 'sparse strategy' note): a count matrix whose
-    dense-int8 footprint EXCEEDS one v5e's 16 GB HBM (n*m = 18.3 GB)
-    but whose sparse layouts fit comfortably.  Runs the full
-    production sweep (fused + posterior + hyper) for each layout on
-    the real chip and reports sweeps/s + bytes actually resident.
+_BENCH_CACHE = "/root/.cache/ccfindr_bench"
 
-    The matrix is planted-rank Poisson masked to ``density``; cells
-    are tiled from a base block (identical per-sweep work, bounded
-    host generation time).
-    """
-    import jax
-    import jax.numpy as jnp
+
+def _oversize_matrix(n, m, r, density, tile):
+    """The oversize CSR, disk-cached: generation + assembly run ~5-10
+    min on this 2-vCPU host (measured round 5) — far too slow to pay
+    inside every driver-budgeted bench run.  The cache persists across
+    rounds like the XLA compile cache."""
+    import os
+
     import scipy.sparse as sps
 
-    from ccfindr_tpu.ops import vb as vb_ops
-    from ccfindr_tpu.ops.vb import Hyper, VBState
-
-    dtype = jnp.float32
+    os.makedirs(_BENCH_CACHE, exist_ok=True)
+    path = os.path.join(_BENCH_CACHE,
+                        f"oversize_{n}x{m}_d{density}_t{tile}.npz")
+    if os.path.exists(path):
+        z = np.load(path)
+        return sps.csr_matrix((z["data"], z["indices"], z["indptr"]),
+                              shape=(n, m))
     rng = np.random.default_rng(0)
     mb = m // tile
     wf = rng.gamma(0.5, 1.0, (n, r)).astype(np.float32)
@@ -248,10 +246,65 @@ def bench_sparse_oversize(n=16384, m=1114112, r=16, density=0.02,
     base = sps.vstack(chunks).tocsr()
     del chunks
     full = sps.hstack([base] * tile, format="csr")
+    np.savez(path, data=full.data, indices=full.indices,
+             indptr=full.indptr)
+    return full
+
+
+def _oversize_tile_layout(full, dtype):
+    """The tile-sparse device layout for the oversize matrix,
+    disk-cached (building slots for 279 M nonzeros takes ~15 min on
+    this host)."""
+    import os
+
+    from ccfindr_tpu.ops import tile as tk
+
+    import jax.numpy as jnp
+
+    path = os.path.join(_BENCH_CACHE, "oversize_tile_layout.npz")
+    if os.path.exists(path):
+        z = np.load(path)
+        return tk.TileCounts(
+            jnp.asarray(z["cols"]), jnp.asarray(z["vals"]),
+            jnp.asarray(z["trow"]), jnp.asarray(z["tcol"]),
+            jnp.asarray(z["tval"]), int(z["n"]), int(z["m"]),
+            int(z["bn"]), int(z["bm"]), int(z["kt"]),
+            bool(z["packed"]))
+    x = tk.from_scipy_tile(full, dtype=dtype)
+    np.savez(path, cols=np.asarray(x.cols), vals=np.asarray(x.vals),
+             trow=np.asarray(x.trow), tcol=np.asarray(x.tcol),
+             tval=np.asarray(x.tval), n=x.n, m=x.m, bn=x.bn,
+             bm=x.bm, kt=x.kt, packed=x.packed)
+    return x
+
+
+def bench_sparse_oversize(n=16384, m=1114112, r=16, density=0.02,
+                          tile=128, layouts=("tile", "ell")):
+    """HBM-capacity demo (the sparse backends' reason to exist,
+    BASELINE.md 'sparse strategy' note): a count matrix whose
+    dense-int8 footprint EXCEEDS one v5e's 16 GB HBM (n*m = 18.3 GB)
+    but whose sparse layouts fit comfortably.  Runs the full
+    production sweep (fused + posterior + hyper) for each layout on
+    the real chip and reports sweeps/s + bytes actually resident.
+
+    The matrix is planted-rank Poisson masked to ``density``; cells
+    are tiled from a base block (identical per-sweep work, bounded
+    host generation time), and both it and the tile device layout are
+    disk-cached under /root/.cache (see _oversize_matrix).
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from ccfindr_tpu.ops import vb as vb_ops
+    from ccfindr_tpu.ops.vb import Hyper, VBState
+
+    dtype = jnp.float32
+    rng = np.random.default_rng(0)
+    full = _oversize_matrix(n, m, r, density, tile)
     nnz = full.nnz
 
     from scipy.special import gammaln as _gammaln
-    cnt = np.bincount(base.data, minlength=2) * tile
+    cnt = np.bincount(full.data.astype(np.int64), minlength=2)
     lgx = jnp.asarray(
         float(cnt @ _gammaln(np.arange(len(cnt)) + 1.0)), dtype)
     w = jnp.asarray(rng.gamma(1.0, 1.0, (n, r)), dtype)
@@ -265,8 +318,8 @@ def bench_sparse_oversize(n=16384, m=1114112, r=16, density=0.02,
     out = {}
     for layout in layouts:
         if layout == "tile":
+            x = _oversize_tile_layout(full, dtype)
             from ccfindr_tpu.ops import tile as tk
-            x = tk.from_scipy_tile(full, dtype=dtype)
             fused = tk.make_tile_fused()
             k = (1, 11)
         else:
