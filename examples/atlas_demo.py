@@ -48,7 +48,11 @@ def simulate_atlas(n_genes=20480, n_cells=100352, rank=PLANT_RANK,
     h = np.zeros((rank, mb), np.float32)
     h[types, np.arange(mb)] = rng.gamma(3.0, 1.0, mb)
     h += rng.gamma(0.15, 0.3, (rank, mb))       # cross-type leakage
-    scale = 2.0 * n_genes * mb / float(w.sum(axis=0) @ h.sum(axis=1))
+    # realistic sequencing depth: ~2,500 UMI/cell over 20k genes
+    # (~8-10% nonzero — scRNA reality, and the density regime the
+    # CSR container is designed for; a mean-2.0-per-element matrix
+    # would be 86% dense and nonsensical as 10x data)
+    scale = 2500.0 * mb / float(w.sum(axis=0) @ h.sum(axis=1))
     x = np.empty((n_genes, mb), np.int8)
     for i0 in range(0, n_genes, 2048):
         mu = (w[i0:i0 + 2048] @ h) * scale
