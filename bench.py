@@ -645,8 +645,8 @@ def main():
                 emit("oversize_dense_int8_gb", info["dense_int8_gb"],
                      "GB")
         leg(f"oversize_{layout}", k_est, f)
-    _oversize("tile", 300)
-    _oversize("ell", 300)
+    _oversize("tile", 450)
+    _oversize("ell", 450)
 
     # ---- atlas-scale end-to-end science run (QC -> rank scan 2..20
     # -> optimal_rank -> tree -> metagenes at 100k cells, one chip);
