@@ -91,6 +91,56 @@ def test_two_process_distributed_matches_single_host(tmp_path):
         np.testing.assert_array_equal(a[key], b[key])
 
 
+def test_three_process_idle_host(tmp_path):
+    """More processes than work items: the idle host must JOIN the
+    collective exchange instead of raising/deadlocking (round-5 fix;
+    the owning hosts block in the all-gather otherwise).  VB with 2
+    (rank, run) items across 3 processes — every host, including the
+    idle one, returns the single-host result bit-for-bit."""
+    ranks, nrun, itmax, seed = [2, 3], 1, 150, 5
+
+    s = build_problem(cf)
+    ref = cf.vb_factorize(s, ranks=ranks, nrun=nrun, verbose=0,
+                          Itmax=itmax, seed=seed)
+
+    outs = _spawn_workers(
+        tmp_path, nproc=3, port=_free_port(),
+        ranks=",".join(map(str, ranks)), nrun=nrun, itmax=itmax,
+        seed=seed)
+
+    for path in outs:
+        got = np.load(path)
+        np.testing.assert_array_equal(got["lml"],
+                                      ref.measure["lml"].to_numpy())
+        for k, r in enumerate(ref.ranks):
+            np.testing.assert_array_equal(got[f"basis_{r}"],
+                                          ref.basis[k])
+
+
+def test_three_process_ml_idle_host(tmp_path):
+    """ML twin of the idle-host case: 2 restarts across 3 processes
+    (restart-granular partition) — the idle host joins the
+    cid/likelihood gathers and returns the single-host table."""
+    ranks, nrun, itmax, seed = [2], 2, 100, 5
+
+    s = build_problem(cf)
+    ref = cf.factorize(s, ranks=ranks, nrun=nrun, verbose=0,
+                       Itmax=itmax, seed=seed)
+
+    outs = _spawn_workers(
+        tmp_path, nproc=3, port=_free_port(), mode="ml",
+        ranks=",".join(map(str, ranks)), nrun=nrun, itmax=itmax,
+        seed=seed)
+
+    for path in outs:
+        got = np.load(path)
+        np.testing.assert_array_equal(
+            got["lml"], ref.measure["likelihood"].to_numpy())
+        np.testing.assert_array_equal(
+            got["dispersion"], ref.measure["dispersion"].to_numpy())
+        np.testing.assert_array_equal(got["basis_2"], ref.basis[0])
+
+
 def test_two_process_ml_restart_split_matches_single_host(tmp_path):
     """Restart-granular ML multi-host (VERDICT r4 item 3): ONE rank
     with nrun=8 splits 4/4 across 2 real processes — the per-restart
