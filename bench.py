@@ -99,6 +99,13 @@ def _sweep_rate(body, x, state, k1=64, k2=576, reps=3):  # noqa: C901
         t2 = time.perf_counter()
         b1 = min(b1, t1 - t0)
         b2 = min(b2, t2 - t1)
+    if b2 - b1 <= 0.05 * b2:
+        # the differenced denominator is inside timing noise (seen on
+        # the slowest sparse legs at k=(1,2) under tunnel jitter, where
+        # it once went NEGATIVE): fall back to the k2 leg's absolute
+        # rate — it still contains the ~27 ms/dispatch tunnel overhead,
+        # so it can only UNDERestimate throughput
+        return k2 / b2
     return (k2 - k1) / (b2 - b1)
 
 
@@ -278,6 +285,32 @@ def _oversize_tile_layout(full, dtype):
     return x
 
 
+def _oversize_ell_layout(full, dtype):
+    """The dual-ELL device layout for the oversize matrix, disk-cached
+    like the tile layout (the host-side slot fill over 279 M nonzeros
+    costs minutes on this 2-vCPU host)."""
+    import os
+
+    from ccfindr_tpu.ops import ell as ek
+
+    import jax.numpy as jnp
+
+    path = os.path.join(_BENCH_CACHE, "oversize_ell_layout.npz")
+    if os.path.exists(path):
+        z = np.load(path)
+        return ek.EllCounts(
+            *(jnp.asarray(z[f]) for f in
+              ("gcol", "gval", "crow", "cval", "gtrow", "gtcol",
+               "gtval", "ctrow", "ctcol", "ctval")),
+            int(z["n"]), int(z["m"]), int(z["bn"]), int(z["bm"]))
+    x = ek.from_scipy_ell(full, dtype=dtype)
+    np.savez(path, **{f: np.asarray(getattr(x, f)) for f in
+                      ("gcol", "gval", "crow", "cval", "gtrow",
+                       "gtcol", "gtval", "ctrow", "ctcol", "ctval")},
+             n=x.n, m=x.m, bn=x.bn, bm=x.bm)
+    return x
+
+
 def bench_sparse_oversize(n=16384, m=1114112, r=16, density=0.02,
                           tile=128, layouts=("tile", "ell")):
     """HBM-capacity demo (the sparse backends' reason to exist,
@@ -324,7 +357,7 @@ def bench_sparse_oversize(n=16384, m=1114112, r=16, density=0.02,
             k = (1, 11)
         else:
             from ccfindr_tpu.ops import ell as ek
-            x = ek.from_scipy_ell(full, dtype=dtype)
+            x = _oversize_ell_layout(full, dtype)
             fused = ek.make_ell_fused()
             k = (1, 2)
         dev_bytes = sum(
@@ -635,6 +668,23 @@ def main():
     # legs: the ELL leg runs at 0.386 sweeps/s and is the first to go
     # when the budget is tight (it killed the round-4 record).
     def _oversize(layout, k_est):
+        # the 450 s estimates assume the disk caches under
+        # _BENCH_CACHE (the host-side CSR assembly costs ~5-10 min,
+        # the tile slot build another ~15 min on this 2-vCPU host);
+        # a fresh machine has neither, so estimate the COLD cost and
+        # let the budget gate degrade the leg to a skip note instead
+        # of a 20-minute blowout (round-4 failure mode)
+        mat_cached = os.path.exists(os.path.join(
+            _BENCH_CACHE, "oversize_16384x1114112_d0.02_t128.npz"))
+        if not mat_cached:
+            k_est += 600
+        if layout == "tile" and not os.path.exists(os.path.join(
+                _BENCH_CACHE, "oversize_tile_layout.npz")):
+            k_est += 900
+        if layout == "ell" and not os.path.exists(os.path.join(
+                _BENCH_CACHE, "oversize_ell_layout.npz")):
+            k_est += 300        # ELL assembly at 279 M nnz
+
         def f():
             res_o, info = bench_sparse_oversize(layouts=(layout,))
             sps_o, gb = res_o[layout]
@@ -658,7 +708,10 @@ def main():
         if concord is not None:
             emit("atlas_workflow_100k_concordance", concord,
                  "fraction")
-    leg("atlas_workflow_100k", 700, _atlas_wf)
+    # est: 432 s measured end-to-end (BASELINE.md round 5) + compile
+    # margin — the round-5 validation run left 544 s at this point, so
+    # a 700 s estimate skipped a leg that would have fit
+    leg("atlas_workflow_100k", 600, _atlas_wf)
 
     # ---- converged-lane compaction scan (measured NEGATIVE result,
     # BASELINE.md round 4; slowest leg — many batch-size recompiles)
