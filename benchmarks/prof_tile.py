@@ -13,7 +13,10 @@ Relative orderings transfer to the full oversize shape (expansion
 work scales linearly in n*m at fixed density/kt); the winner is
 confirmed on the real config by bench.bench_sparse_oversize.
 """
+import sys
 import time
+
+sys.path.insert(0, "/root/repo")
 
 import numpy as np
 import scipy.sparse as sps
@@ -70,14 +73,23 @@ def rate_for(x, n, m, r=16, k1=2, k2=12, reps=5):
     def sweep_k(xx, st, k):
         return jax.lax.fori_loop(0, k, lambda i, s: body(xx, s), st)
 
-    jax.block_until_ready(sweep_k(x, (state, hyper), k1))
-    jax.block_until_ready(sweep_k(x, (state, hyper), k2))
+    # chained carry + value-fetch sync: block_until_ready can no-op
+    # through the axon tunnel (see bench._sweep_rate round-5 notes);
+    # only reading data reliably waits, and its fixed round-trip
+    # cancels in the k2-k1 differencing
+    def _sync(st):
+        jax.block_until_ready(st)
+        _ = np.asarray(jax.device_get(jax.tree.leaves(st)[0]))
+        return st
+
+    st = _sync(sweep_k(x, (state, hyper), k1))
+    st = _sync(sweep_k(x, st, k2))
     b1 = b2 = float("inf")
     for _ in range(reps):
         t0 = time.perf_counter()
-        jax.block_until_ready(sweep_k(x, (state, hyper), k1))
+        st = _sync(sweep_k(x, st, k1))
         t1 = time.perf_counter()
-        jax.block_until_ready(sweep_k(x, (state, hyper), k2))
+        st = _sync(sweep_k(x, st, k2))
         t2 = time.perf_counter()
         b1 = min(b1, t1 - t0)
         b2 = min(b2, t2 - t1)

@@ -212,29 +212,44 @@ def main():
     @functools.partial(jax.jit, static_argnames=("mode", "k"))
     def sweep_k(tc, lw, lh, mode, k):
         def body(i, carry):
-            swn, shn, scal = tile_pass(tc, lw, lh, mode)
-            # fold outputs back so iterations chain
-            return (lw + 0.0 * swn, lh + 0.0 * shn)
+            clw, clh = carry
+            swn, shn, scal = tile_pass(tc, clw, clh, mode)
+            # couple outputs back with a BIT-VISIBLE bounded drift:
+            # a 1e-30*swn coupling underflows against O(1) factors,
+            # leaving the carry bitwise unchanged — and the axon
+            # stack serves repeated (executable, identical-content
+            # args) dispatches from a cache without executing
+            return (clw + 1e-4 * jnp.sign(swn),
+                    clh + 1e-4 * jnp.sign(shn))
         lw2, lh2 = lax.fori_loop(0, k, body, (lw, lh))
         return lw2, lh2
+
+    # chained carry + VALUE-FETCH sync: through the axon tunnel,
+    # block_until_ready can return ~0.2 ms without the execution
+    # having run (round-5 discovery, bench._sweep_rate notes); only
+    # reading data reliably waits, and the fixed fetch round-trip
+    # cancels in the k2-k1 differencing
+    def timed(mode, k, lw, lh):
+        t0 = time.perf_counter()
+        lw2, lh2 = sweep_k(x, lw, lh, mode, k)
+        _ = float(jnp.sum(lw2[0]))
+        return time.perf_counter() - t0, lw2, lh2
 
     for mode in ("full", "no_xlog", "no_gemm", "no_expand",
                  "interleave"):
         k1, k2 = 2, 12
-        jax.block_until_ready(sweep_k(x, lw_p, lh_p, mode, k1))
-        jax.block_until_ready(sweep_k(x, lw_p, lh_p, mode, k2))
+        _, lw2, lh2 = timed(mode, k1, lw_p, lh_p)   # compile + warm
+        _, lw2, lh2 = timed(mode, k2, lw2, lh2)
         b1 = b2 = float("inf")
         for _ in range(5):
-            t0 = time.perf_counter()
-            jax.block_until_ready(sweep_k(x, lw_p, lh_p, mode, k1))
-            t1 = time.perf_counter()
-            jax.block_until_ready(sweep_k(x, lw_p, lh_p, mode, k2))
-            t2 = time.perf_counter()
-            b1 = min(b1, t1 - t0)
-            b2 = min(b2, t2 - t1)
+            d1, lw2, lh2 = timed(mode, k1, lw2, lh2)
+            d2, lw2, lh2 = timed(mode, k2, lw2, lh2)
+            b1 = min(b1, d1)
+            b2 = min(b2, d2)
         dt_pass = (b2 - b1) / (k2 - k1)
         print(f"{mode:11s}: {dt_pass * 1e3:8.2f} ms/pass "
-              f"({1.0 / dt_pass:7.2f} passes/s)", flush=True)
+              f"({1.0 / dt_pass:7.2f} passes/s)  "
+              f"[b1={b1:.4f}s b2={b2:.4f}s]", flush=True)
 
 
 if __name__ == "__main__":

@@ -124,15 +124,18 @@ jax.tree_util.register_pytree_node(TileCounts, _tc_flatten,
 
 
 def _pick_blocks(n, m, bn, bm, density=None):
-    """Default blocks, tuned on v5e (BASELINE.md round 4): the
+    """Default blocks, tuned on v5e (BASELINE.md rounds 4-5): the
     expansion loop costs ~kt*bn*bm VPU ops per tile ~ (kt/density)
     per nonzero, so the narrowest cell block (128 lanes) minimizes
     slot padding; a tall gene block amortizes per-tile fixed costs
-    (measured at the 10%-density bench shape: 1697 sweeps/s at
-    bn=2048, 1554 at bn=1024, 1127 at bn=512/bm=512)."""
+    (round-4 scan at the 10%-density bench shape: 1697 sweeps/s at
+    bn=2048, 1554 at bn=1024, 1127 at bn=512/bm=512; round-5 scan at
+    the 2%-density oversize proxy: 35.6 sweeps/s at bn=4096, 32.4 at
+    bn=2048, 26.6 at bn=1024 — and bn=8192 exceeds the 100 MB scoped
+    VMEM budget, _tile_vmem_budget)."""
     del density
     if bn is None:
-        bn = min(2048, _round_up(n, 8))
+        bn = min(4096, _round_up(n, 8))
     if bm is None:
         bm = min(128, _round_up(m, 128))
     return bn, bm
