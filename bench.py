@@ -722,11 +722,13 @@ def main():
                      "GB")
         leg(f"oversize_{layout}", k_est, f)
     _oversize("tile", 450)
-    _oversize("ell", 450)
 
     # ---- atlas-scale end-to-end science run (QC -> rank scan 2..20
-    # -> optimal_rank -> tree -> metagenes at 100k cells, one chip);
-    # heavy — runs only when the budget clearly allows
+    # -> optimal_rank -> tree -> metagenes at 100k cells, one chip).
+    # Ordered BEFORE the ELL-oversize comparison leg: the honest ELL
+    # measurement costs ~4 min at 0.386 sweeps/s and its value is a
+    # stable historical footnote, while this is the full-workflow
+    # science row (round-5 runs kept skipping it by ~60-130 s).
     def _atlas_wf():
         wall, ropt, concord = bench_atlas_workflow()
         emit("atlas_workflow_100k_wall", wall, "s")
@@ -734,10 +736,10 @@ def main():
         if concord is not None:
             emit("atlas_workflow_100k_concordance", concord,
                  "fraction")
-    # est: 432 s measured end-to-end (BASELINE.md round 5) + compile
-    # margin — the round-5 validation run left 544 s at this point, so
-    # a 700 s estimate skipped a leg that would have fit
+    # est: 432 s measured end-to-end (BASELINE.md round 5) + margin
     leg("atlas_workflow_100k", 600, _atlas_wf)
+
+    _oversize("ell", 450)
 
     # ---- converged-lane compaction scan (measured NEGATIVE result,
     # BASELINE.md round 4; slowest leg — many batch-size recompiles)
