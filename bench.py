@@ -654,6 +654,14 @@ def main():
              backend="pallas_fused_int8", mxu_bf16=True)
     _variant(f"{star_name}_noelbo", 90, n=n, m=m, r=r,
              elbo_term=False)
+    # every lever stacked: int8 X + bf16 GEMM operands + elbo_every
+    # steady state — the production peak for raw-count users who
+    # enable the cadence (measured 7,783-7,852 sweeps/s round 5; the
+    # levers compose super-linearly because removing the x*log pass
+    # makes the GEMM operand feed the binding cost, which bf16 halves)
+    _variant(f"{star_name}_xint8_bf16_noelbo", 90, n=n, m=m, r=r,
+             backend="pallas_fused_int8", mxu_bf16=True,
+             elbo_term=False)
 
     # ---- ML path + time-to-converged-ELBO (second north-star metric)
     def _ml():
@@ -736,8 +744,9 @@ def main():
         if concord is not None:
             emit("atlas_workflow_100k_concordance", concord,
                  "fraction")
-    # est: 432 s measured end-to-end (BASELINE.md round 5) + margin
-    leg("atlas_workflow_100k", 600, _atlas_wf)
+    # est: 354 s measured warm-cache / 432 s first run (BASELINE.md
+    # round 5) + margin
+    leg("atlas_workflow_100k", 480, _atlas_wf)
 
     _oversize("ell", 450)
 
